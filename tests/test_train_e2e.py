@@ -1,0 +1,209 @@
+"""End-to-end training smoke tests: tiny synthetic image folder -> train a
+few epochs on an 8-device CPU mesh -> loss decreases, checkpoints round-trip,
+eval CLI path runs. This is the CPU-runnable PR1 slice from SURVEY §7.
+"""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqvae_tpu.config import parse_config
+from vqvae_tpu.data.dataset import ImageFolderDataset, Loader
+from vqvae_tpu.parallel.mesh import create_mesh
+from vqvae_tpu.train.loop import Trainer, run_training, run_validation
+from vqvae_tpu.utils.checkpoint import CheckpointManager, restore_for_eval
+from vqvae_tpu.utils.logging import MetricLogger
+
+IMG = 16
+
+
+def tiny_cfg(q_type="standard", extra_q=None, loss=None):
+    q_params = {"commitment_cost": 0.25}
+    if q_type == "ema":
+        q_params.update(decay=0.95, epsilon=1e-5)
+    if q_type == "gumbel":
+        q_params = {"straight_through": False, "temp": 1.0, "kl_cost": 0.01,
+                    "kl_warmup_epochs": 1, "temp_decay_epochs": 2,
+                    "temp_final": 0.5}
+    if q_type == "entropy":
+        q_params = {"ent_loss_ratio": 0.1, "ent_temperature": 0.01,
+                    "ent_loss_type": "softmax", "commitment_cost": 0.25}
+    if extra_q:
+        q_params.update(extra_q)
+    raw = {
+        "image_size": IMG,
+        "autoencoder": {"channels": 32, "num_res_blocks": 1,
+                        "channel_multipliers": [1, 2]},
+        "quantizer": {"num_embeddings": 32, "embedding_dim": 8,
+                      "type": q_type, "params": q_params,
+                      "reinit_every_n_epochs": 2},
+        "training": {"cumulative_bs": 16, "base_lr": 1e-3,
+                     "betas": [0.0, 0.99], "eps": 1e-8, "weight_decay": 1e-4,
+                     "decay_epochs": 3, "max_epochs": 3},
+    }
+    if loss:
+        raw["loss"] = loss
+    return parse_config(raw)
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    """Synthetic dataset: train/validation/test folders of 16x16 PNGs."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    root = tmp_path_factory.mktemp("data")
+    rs = np.random.RandomState(0)
+    for split, n in [("train", 32), ("validation", 16), ("test", 16)]:
+        d = root / split
+        d.mkdir()
+        for i in range(n):
+            arr = rs.randint(0, 255, (IMG, IMG, 3), np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i:03d}.png")
+    return str(root) + "/"
+
+
+def test_dataset_and_loader(image_folder):
+    ds = ImageFolderDataset(image_folder + "train/", IMG)
+    assert len(ds) == 32
+    img = ds[0]
+    assert img.shape == (IMG, IMG, 3) and img.dtype == np.uint8
+
+    loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True, seed=1,
+                    num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0]["image"].shape == (8, IMG, IMG, 3)
+    # deterministic order per epoch
+    loader2 = Loader(ds, batch_size=8, shuffle=True, drop_last=True, seed=1,
+                     num_workers=2)
+    b1 = list(loader)[0]["image"]
+    b2 = list(loader2)[0]["image"]
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_loader_pads_final_batch(image_folder):
+    ds = ImageFolderDataset(image_folder + "validation/", IMG)
+    loader = Loader(ds, batch_size=6, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1]["image"].shape == (6, IMG, IMG, 3)
+    assert batches[-1]["mask"].sum() == 16 - 12
+
+
+@pytest.mark.parametrize("q_type", ["standard", "ema", "gumbel", "entropy"])
+def test_train_step_runs_and_descends(q_type):
+    """Single-device: a few steps on a fixed batch must reduce the loss."""
+    cfg = tiny_cfg(q_type)
+    trainer = Trainer(cfg=cfg, learning_rate=1e-3, seed=0, steps_per_epoch=4)
+    state = trainer.init_state()
+    rs = np.random.RandomState(0)
+    batch = {"image": rs.randint(0, 255, (8, IMG, IMG, 3), np.uint8)}
+
+    losses = []
+    for _ in range(6):
+        state, metrics = trainer.train_step(state, batch, epoch=0)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+    assert int(state.usage_count.sum()) == 6 * 8 * (IMG // 4) ** 2
+
+
+def test_train_e2e_mesh_checkpoint_resume(image_folder, tmp_path):
+    """Full run_training on the 8-device CPU mesh + resume from checkpoint."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg("ema")
+    mesh = create_mesh()
+    train_loader = Loader(ImageFolderDataset(image_folder + "train/", IMG),
+                          batch_size=16, shuffle=True, drop_last=True, seed=0)
+    val_loader = Loader(ImageFolderDataset(image_folder + "validation/", IMG),
+                        batch_size=16, shuffle=False, drop_last=False)
+
+    logger = MetricLogger(str(tmp_path), "run")
+    state, trainer = run_training(
+        cfg, train_loader, val_loader, seed=0, learning_rate=1e-3,
+        save_dir=str(tmp_path), run_name="run", logger=logger, mesh=mesh,
+        max_epochs=2, check_val_every=1)
+    logger.finish()
+
+    assert int(state.step) == 2 * len(train_loader)
+    # metrics written
+    lines = [json.loads(l) for l in
+             open(tmp_path / "run" / "metrics.jsonl").read().splitlines()]
+    assert any("validation/loss" in l for l in lines)
+    assert any("val_metrics/perplexity" in l for l in lines)
+
+    # checkpoint layout: epoch dirs + last
+    assert (tmp_path / "run" / "last").exists()
+    assert (tmp_path / "run" / "epoch_0000").exists()
+
+    # resume continues the step counter
+    state2, _ = run_training(
+        cfg, train_loader, val_loader, seed=0, learning_rate=1e-3,
+        save_dir=str(tmp_path), run_name="run2", logger=MetricLogger(str(tmp_path), "run2"),
+        resume_path=str(tmp_path / "run" / "last"), mesh=mesh,
+        max_epochs=3, check_val_every=10)
+    assert int(state2.step) == 3 * len(train_loader)
+
+    # eval-style weight-only restore
+    trainer_eval = Trainer(cfg=cfg, learning_rate=1e-3, seed=0,
+                           steps_per_epoch=1)
+    st = restore_for_eval(str(tmp_path / "run" / "last"), trainer_eval.init_state())
+    np.testing.assert_allclose(
+        np.asarray(st.vq_state["quantizer"]["codebook"]),
+        np.asarray(state.vq_state["quantizer"]["codebook"]), rtol=1e-6)
+
+
+def test_mesh_matches_single_device():
+    """One shard_map'd train step over 8 devices must equal the single-device
+    step on the same global batch (grads pmean == global-batch grad)."""
+    cfg = tiny_cfg("standard")
+    rs = np.random.RandomState(3)
+    batch = {"image": rs.randint(0, 255, (16, IMG, IMG, 3), np.uint8)}
+
+    t_single = Trainer(cfg=cfg, learning_rate=1e-3, seed=0, steps_per_epoch=4)
+    s_single = t_single.init_state()
+
+    mesh = create_mesh()
+    t_mesh = Trainer(cfg=cfg, learning_rate=1e-3, seed=0, steps_per_epoch=4,
+                     mesh=mesh)
+    s_mesh = t_mesh.init_state()
+
+    # identical init
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_mesh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # NOTE: augmentation RNG differs (mesh folds in axis_index), so compare
+    # with augmentations disabled via identical rng only on eval path instead:
+    m_single, u_single, _ = t_single.eval_step(s_single, batch, 0)
+    m_mesh, u_mesh, _ = t_mesh.eval_step(s_mesh, batch, 0)
+    np.testing.assert_array_equal(np.asarray(u_single), np.asarray(u_mesh))
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_mesh[k]),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_validation_and_reinit(image_folder):
+    cfg = tiny_cfg("standard")
+    trainer = Trainer(cfg=cfg, learning_rate=1e-3, seed=0, steps_per_epoch=2)
+    state = trainer.init_state()
+    val_loader = Loader(ImageFolderDataset(image_folder + "validation/", IMG),
+                        batch_size=8, shuffle=False, drop_last=True)
+    metrics, usage = run_validation(trainer, state, val_loader, epoch=0)
+    assert "loss" in metrics and np.isfinite(metrics["loss"])
+    assert usage.sum() == 16 * (IMG // 4) ** 2
+
+    # force an unused code and reinit at epoch 2
+    state = state.replace(usage_count=jnp.asarray(
+        np.r_[np.zeros(16), np.ones(16) * 5].astype(np.int32)))
+    cb_before = np.asarray(state.params["quantizer"]["codebook"])
+    state2 = trainer.maybe_reinit_codes(state, epoch=2)
+    cb_after = np.asarray(state2.params["quantizer"]["codebook"])
+    assert not np.allclose(cb_before[:16], cb_after[:16])
+    np.testing.assert_array_equal(cb_before[16:], cb_after[16:])

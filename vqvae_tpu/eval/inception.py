@@ -1,0 +1,203 @@
+"""InceptionV3 (FID variant) feature extractor in flax.
+
+Port of the standard FID inception network (the TF-ported
+`pt_inception-2015-12-05` weights used by torchmetrics / pytorch-fid — the
+reference's rFID metric, model.py:497) with the FID-specific quirks:
+
+- InceptionA/C/E pool branches use average pooling with
+  count_include_pad=False
+- the *second* InceptionE block (Mixed_7c) uses MAX pooling in its pool
+  branch (faithful to the original TF graph)
+- input pipeline: uint8 -> [0,1] -> bilinear resize to 299 (no antialias,
+  half-pixel centers) -> scale to [-1, 1] -> features -> global avg pool
+  (pool3, 2048-d)
+
+BatchNorm is folded into conv weights at conversion time
+(tools/convert_inception_weights.py), so inference is conv+bias+relu only.
+All convs run in fp32 (FID is precision-sensitive).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class ConvBN(nn.Module):
+    """BasicConv2d with BN pre-folded: conv (bias) + relu."""
+
+    features: int
+    kernel: tuple
+    strides: tuple = (1, 1)
+    padding: tuple = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        pad = ((self.padding[0], self.padding[0]),
+               (self.padding[1], self.padding[1]))
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=pad, use_bias=True, dtype=jnp.float32,
+                    name="conv")(x)
+        return nn.relu(x)
+
+
+def _avg_pool_cip_false(x, window=3):
+    """3x3 stride-1 same avg pool with count_include_pad=False."""
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    sum_pool = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    counts = jax.lax.reduce_window(
+        jnp.broadcast_to(ones, (x.shape[0],) + x.shape[1:3] + (1,)),
+        0.0, jax.lax.add, (1, window, window, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    return sum_pool / counts
+
+
+def _max_pool(x, window=3, stride=2, pad=0):
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=[(pad, pad), (pad, pad)])
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = ConvBN(64, (1, 1), name="branch1x1")(x)
+        b5 = ConvBN(48, (1, 1), name="branch5x5_1")(x)
+        b5 = ConvBN(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = ConvBN(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = ConvBN(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = ConvBN(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = _avg_pool_cip_false(x)
+        bp = ConvBN(self.pool_features, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = ConvBN(384, (3, 3), strides=(2, 2), name="branch3x3")(x)
+        bd = ConvBN(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = ConvBN(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = ConvBN(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd)
+        bp = _max_pool(x)
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b1 = ConvBN(192, (1, 1), name="branch1x1")(x)
+        b7 = ConvBN(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = ConvBN(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = ConvBN(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = ConvBN(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = ConvBN(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = ConvBN(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = ConvBN(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = ConvBN(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = _avg_pool_cip_false(x)
+        bp = ConvBN(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = ConvBN(192, (1, 1), name="branch3x3_1")(x)
+        b3 = ConvBN(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3)
+        b7 = ConvBN(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = ConvBN(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = ConvBN(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = ConvBN(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7)
+        bp = _max_pool(x)
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    pool_type: str = "avg"  # Mixed_7b: 'avg' (cip=False); Mixed_7c: 'max'
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = ConvBN(320, (1, 1), name="branch1x1")(x)
+        b3 = ConvBN(384, (1, 1), name="branch3x3_1")(x)
+        b3a = ConvBN(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
+        b3b = ConvBN(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = ConvBN(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = ConvBN(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bda = ConvBN(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
+        bdb = ConvBN(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        if self.pool_type == "avg":
+            bp = _avg_pool_cip_false(x)
+        else:
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1),
+                             padding=[(1, 1), (1, 1)])
+        bp = ConvBN(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Pool3(nn.Module):
+    """Full FID inception up to the 2048-d pool3 features."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBN(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
+        x = ConvBN(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = ConvBN(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = _max_pool(x)
+        x = ConvBN(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = ConvBN(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = _max_pool(x)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE("avg", name="Mixed_7b")(x)
+        x = InceptionE("max", name="Mixed_7c")(x)
+        return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+
+
+def preprocess_fid_input(images_uint8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC -> resized 299, scaled to [-1, 1] (pytorch-fid pipeline:
+    bilinear, no antialias, half-pixel centers, then 2x-1)."""
+    x = images_uint8.astype(jnp.float32) / 255.0
+    b, h, w, c = x.shape
+    if (h, w) != (299, 299):
+        scale = jnp.array([299.0 / h, 299.0 / w], jnp.float32)
+        translation = jnp.array([0.0, 0.0], jnp.float32)
+        x = jax.vmap(lambda im: jax.image.scale_and_translate(
+            im, (299, 299, c), (0, 1), scale, translation,
+            method="linear", antialias=False))(x)
+    return x * 2.0 - 1.0
+
+
+def make_pool3_extractor(weights_path: Path):
+    """Jitted (uint8 images) -> (B, 2048) pool3 features."""
+    from vqvae_tpu.models.lpips import _unflatten
+    flat = dict(np.load(str(weights_path)))
+    params = jax.tree.map(jnp.asarray, _unflatten(flat))
+    model = InceptionV3Pool3()
+
+    @jax.jit
+    def extract(images_uint8):
+        x = preprocess_fid_input(jnp.asarray(images_uint8))
+        return model.apply({"params": params}, x)
+
+    return extract

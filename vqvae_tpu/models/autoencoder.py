@@ -1,0 +1,236 @@
+"""Conv ResNet encoder / decoder, TPU-native (NHWC, bf16 compute / fp32 params).
+
+Behavioral parity with the reference autoencoder (reference
+vqvae/modules/autoencoder.py:7-180), re-designed for XLA on TPU:
+
+- NHWC layout end-to-end: TPU convolutions tile onto the MXU in NHWC; there is
+  no channels-first anywhere in this framework.
+- All convolutions run in a configurable compute dtype (bfloat16 by default on
+  TPU) with float32 parameters; GroupNorm statistics are always computed in
+  float32 (the reference keeps fp32 master weights under AMP `16-mixed`).
+- GroupNorm uses the *unbiased* variance estimator, matching the reference's
+  custom implementation (autoencoder.py:31 uses `torch.var`, whose default is
+  the unbiased/corrected estimator — unlike standard GroupNorm).
+- Downsample = 2x2 average pool (autoencoder.py:80-91); Upsample =
+  nearest-exact x2 + 3x3 conv (autoencoder.py:94-106); spatial compression
+  factor = 2 ** len(channel_multipliers).
+- Parameter init mirrors torch Conv2d defaults (kaiming-uniform a=sqrt(5) =>
+  U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both kernels and biases) so training
+  dynamics match the reference recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Conv2d default weight init.
+
+    kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with
+    fan_in = in_channels * kh * kw. Flax kernel shape is (kh, kw, in, out).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def conv_bias_init_for(fan_in: int):
+    """torch.nn.Conv2d / Linear default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """3x3/1x1 'same' convolution with torch-default init, NHWC."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        bias_init = conv_bias_init_for(in_ch * k * k)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(1, 1),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+            bias_init=bias_init,
+        )(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with unbiased variance, fp32 statistics.
+
+    Parity: reference autoencoder.py:7-39 (custom GroupNorm with explicit
+    mean/var; torch.var default correction=1 => unbiased).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        if c % self.num_groups != 0:
+            raise ValueError("num_channels must be divisible by num_groups")
+
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        g = self.num_groups
+        n = (c // g) * h * w  # elements per (batch, group)
+        xg = xf.reshape(b, h, w, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        centered = xg - mean
+        # unbiased variance (correction = 1), matching torch.var default
+        var = jnp.sum(centered * centered, axis=(1, 2, 4), keepdims=True) / max(n - 1, 1)
+        xg = centered * jax.lax.rsqrt(var + self.eps)
+        xf = xg.reshape(b, h, w, c)
+        xf = xf * scale + bias
+        return xf.astype(self.dtype)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block: (GN -> SiLU -> 3x3 conv) x2, bias-free
+    convs, optional 1x1 shortcut when channels change.
+
+    Parity: reference autoencoder.py:42-77.
+    """
+
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels if self.out_channels is not None else in_ch
+
+        residual = nn.silu(GroupNorm(dtype=self.dtype, name="norm1")(x))
+        residual = Conv(out_ch, 3, use_bias=False, dtype=self.dtype, name="conv1")(residual)
+
+        residual = nn.silu(GroupNorm(dtype=self.dtype, name="norm2")(residual))
+        residual = Conv(out_ch, 3, use_bias=False, dtype=self.dtype, name="conv2")(residual)
+
+        if out_ch != in_ch:
+            x = Conv(out_ch, 1, use_bias=False, dtype=self.dtype, name="conv_shortcut")(x)
+
+        return x + residual
+
+
+class Downsample(nn.Module):
+    """2x2 average pooling, stride 2 (reference autoencoder.py:80-91)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
+
+
+class Upsample(nn.Module):
+    """Nearest-exact 2x upsample + 3x3 conv (reference autoencoder.py:94-106).
+
+    For integer scale factors, torch 'nearest-exact' equals pixel replication,
+    implemented here as a reshape-broadcast (cheap, layout-friendly on TPU).
+    """
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
+        return Conv(self.channels, 3, use_bias=True, dtype=self.dtype, name="conv")(x)
+
+
+class Encoder(nn.Module):
+    """Conv ResNet encoder (reference autoencoder.py:109-143).
+
+    stem 3x3 -> per-multiplier [num_res_blocks ResBlocks + Downsample]
+    -> num_res_blocks final ResBlocks -> GN -> SiLU -> 1x1 conv to
+    embedding_dim. Output spatial = input / 2**len(channel_multipliers).
+    """
+
+    channels: int
+    num_res_blocks: int
+    channel_multipliers: Sequence[int]
+    embedding_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = Conv(self.channels, 3, use_bias=False, dtype=self.dtype, name="conv_in")(x)
+
+        for i, mult in enumerate(self.channel_multipliers):
+            ch_out = self.channels * mult
+            for j in range(self.num_res_blocks):
+                x = ResBlock(ch_out, dtype=self.dtype, name=f"down_{i}_block_{j}")(x)
+            x = Downsample(dtype=self.dtype, name=f"down_{i}_pool")(x)
+
+        for j in range(self.num_res_blocks):
+            x = ResBlock(dtype=self.dtype, name=f"final_block_{j}")(x)
+
+        x = GroupNorm(dtype=self.dtype, name="norm_out")(x)
+        x = nn.silu(x)
+        x = Conv(self.embedding_dim, 1, use_bias=True, dtype=self.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)
+
+
+class Decoder(nn.Module):
+    """Conv ResNet decoder, mirror of the encoder with final tanh
+    (reference autoencoder.py:146-180).
+    """
+
+    channels: int
+    num_res_blocks: int
+    channel_multipliers: Sequence[int]
+    embedding_dim: int  # input latent dim
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        n_levels = len(self.channel_multipliers)
+
+        x = Conv(self.channels * self.channel_multipliers[-1], 3, use_bias=True,
+                 dtype=self.dtype, name="conv_in")(x)
+
+        for j in range(self.num_res_blocks):
+            x = ResBlock(dtype=self.dtype, name=f"initial_block_{j}")(x)
+
+        # mirror of the encoder: level i (from top) with ch_out =
+        # channels * multipliers[i-1] for i > 0 else channels
+        for i in reversed(range(n_levels)):
+            ch_out = self.channels * self.channel_multipliers[i - 1] if i > 0 else self.channels
+            for j in range(self.num_res_blocks):
+                x = ResBlock(ch_out, dtype=self.dtype, name=f"up_{i}_block_{j}")(x)
+            x = Upsample(ch_out, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+
+        x = GroupNorm(dtype=self.dtype, name="norm_out")(x)
+        x = nn.silu(x)
+        x = Conv(3, 3, use_bias=True, dtype=self.dtype, name="conv_out")(x)
+        return jnp.tanh(x.astype(jnp.float32))

@@ -1,0 +1,384 @@
+"""Vector-quantization bottlenecks, TPU-native.
+
+Four algorithms with behavioral parity to the reference
+(vqvae/modules/vector_quantizers.py:8-381, base contract
+vqvae/modules/abstract_modules/base_quantizer.py:6-102):
+
+- ``VectorQuantizer``      — argmin assignment, codebook + commitment loss,
+                             straight-through estimator.
+- ``EMAVectorQuantizer``   — argmin assignment, codebook updated by exponential
+                             moving averages held in an explicit ``vq_state``
+                             flax collection. Unlike the reference (whose DDP
+                             keeps EMA buffers replica-local and lets them
+                             drift, SURVEY §5), the accumulators are reduced
+                             across the data-parallel mesh axis with
+                             ``lax.psum`` when ``axis_name`` is set — the
+                             mathematically-correct global-batch EMA.
+- ``GumbelVectorQuantizer``— gumbel-softmax relaxation with schedulable
+                             temperature / KL cost, extra 1x1 conv to logits.
+- ``EntropyVectorQuantizer``— MaskGIT-style entropy-regularized argmin.
+
+All quantizers consume NHWC latents ``z: (B, H, W, D)`` and return
+``(quantized (B,H,W,D), codes (B, H*W) int32, loss scalar)``.
+
+Straight-through gradients use ``z + stop_gradient(q - z)``. The distance
+computation ``|x|^2 + |c|^2 - 2 x c^T`` is a single MXU matmul; the fused
+Pallas nearest-neighbor kernel in ``vqvae_tpu.ops.vq`` avoids materializing
+the (B*H*W, N) distance matrix in HBM and is used automatically on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vqvae_tpu.ops.vq import nearest_codes
+from vqvae_tpu.models.autoencoder import conv_kernel_init, conv_bias_init_for
+
+Dtype = Any
+
+
+def codebook_init(num_embeddings: int):
+    """Uniform init in +-1/num_embeddings (reference base_quantizer.py:27-31)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / num_embeddings
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _flatten(z: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, int, int, int]]:
+    b, h, w, d = z.shape
+    return z.reshape(b * h * w, d), (b, h, w, d)
+
+
+def codes_to_vec(codebook: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Lookup codes (B, S) -> (B, S, D) (reference base_quantizer.py:53-61)."""
+    return jnp.take(codebook, codes, axis=0)
+
+
+def get_codebook_usage(index_count: jnp.ndarray):
+    """(probs, perplexity, %used) from per-code usage counts
+    (reference base_quantizer.py:63-79)."""
+    index_count = index_count.astype(jnp.float32)
+    probs = index_count / jnp.sum(index_count)
+    perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
+    used_pct = jnp.count_nonzero(probs) * 100.0 / index_count.shape[0]
+    return probs, perplexity, used_pct
+
+
+def reinit_unused_codes(codebook: jnp.ndarray, usage_probs: jnp.ndarray,
+                        rng: jax.Array) -> jnp.ndarray:
+    """Re-initialize unused codebook rows by resampling rows from the usage
+    distribution (reference base_quantizer.py:81-102), as a pure function.
+    """
+    n = usage_probs.shape[0]
+    unused = usage_probs == 0.0
+    # sample a replacement row for every slot (static shape); only unused rows use it
+    logits = jnp.log(usage_probs + 1e-30)
+    replacements = jax.random.categorical(rng, logits, shape=(n,))
+    return jnp.where(unused[:, None], codebook[replacements], codebook)
+
+
+def count_code_usage(codes: jnp.ndarray, num_embeddings: int) -> jnp.ndarray:
+    """Per-code usage histogram of int codes, XLA-friendly one-hot sum
+    (replaces the reference's torch.bincount determinism hack, model.py:289-293).
+    """
+    onehot = jax.nn.one_hot(codes.reshape(-1), num_embeddings, dtype=jnp.int32)
+    return jnp.sum(onehot, axis=0)
+
+
+class VectorQuantizer(nn.Module):
+    """Standard VQ with straight-through estimator
+    (reference vector_quantizers.py:8-84)."""
+
+    num_embeddings: int
+    embedding_dim: int
+    commitment_cost: float = 0.25
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        codebook = self.param("codebook", codebook_init(self.num_embeddings),
+                              (self.num_embeddings, self.embedding_dim), jnp.float32)
+        flat_x, (b, h, w, d) = _flatten(z)
+
+        codes = nearest_codes(flat_x, codebook)
+        quantized = jnp.take(codebook, codes, axis=0)
+
+        e_loss = self.commitment_cost * jnp.mean(
+            (jax.lax.stop_gradient(quantized) - flat_x) ** 2)
+        q_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat_x)) ** 2)
+
+        quantized = flat_x + jax.lax.stop_gradient(quantized - flat_x)
+        quantized = quantized.reshape(b, h, w, d)
+        codes = jax.lax.stop_gradient(codes.reshape(b, h * w))
+        return quantized, codes, q_loss + e_loss
+
+    def vec_to_codes(self, z):
+        codebook = self.get_variable("params", "codebook")
+        flat_x, (b, h, w, d) = _flatten(z)
+        return nearest_codes(flat_x, codebook).reshape(b, h * w)
+
+
+class EMAVectorQuantizer(nn.Module):
+    """EMA-codebook VQ (reference vector_quantizers.py:87-203).
+
+    Codebook and EMA accumulators live in the ``vq_state`` collection (never
+    touched by the optimizer). When ``axis_name`` is set (running inside
+    shard_map over the data mesh axis), assignment counts and code-sums are
+    ``psum``-reduced so every replica applies the identical global-batch EMA
+    update — fixing the reference's silent replica-local buffer drift
+    (SURVEY §5 "distributed backend" subtlety).
+
+    The Laplace smoothing intentionally replicates the reference's
+    normalization by *batch size* ``b`` rather than the number of latent
+    vectors ``b*h*w`` (vector_quantizers.py:164) for training parity.
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    commitment_cost: float = 0.25
+    decay: float = 0.95
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        init = codebook_init(self.num_embeddings)
+        codebook_v = self.variable(
+            "vq_state", "codebook",
+            lambda: init(self.make_rng("params"),
+                         (self.num_embeddings, self.embedding_dim)))
+        ema_count_v = self.variable(
+            "vq_state", "ema_count", lambda: jnp.zeros((self.num_embeddings,), jnp.float32))
+        ema_weight_v = self.variable(
+            "vq_state", "ema_weight",
+            lambda: init(self.make_rng("params"),
+                         (self.num_embeddings, self.embedding_dim)))
+
+        codebook = codebook_v.value
+        flat_x, (b, h, w, d) = _flatten(z)
+        flat_x_sg = jax.lax.stop_gradient(flat_x)
+
+        codes = nearest_codes(flat_x_sg, codebook)
+        quantized = jnp.take(codebook, codes, axis=0)
+
+        if train and self.is_mutable_collection("vq_state"):
+            onehot = jax.nn.one_hot(codes, self.num_embeddings, dtype=jnp.float32)
+            counts = jnp.sum(onehot, axis=0)                      # (N,)
+            dw = jnp.matmul(onehot.T, flat_x_sg,                  # (N, D) MXU
+                            precision=jax.lax.Precision.HIGHEST)
+            batch = jnp.asarray(b, jnp.float32)
+            if self.axis_name is not None:
+                counts = jax.lax.psum(counts, self.axis_name)
+                dw = jax.lax.psum(dw, self.axis_name)
+                batch = jax.lax.psum(batch, self.axis_name)
+
+            ema_count = ema_count_v.value * self.decay + (1 - self.decay) * counts
+            # Laplace smoothing normalized by batch size (reference quirk,
+            # vector_quantizers.py:164)
+            ema_count = ((ema_count + self.epsilon)
+                         / (batch + self.num_embeddings * self.epsilon) * batch)
+            ema_weight = ema_weight_v.value * self.decay + (1 - self.decay) * dw
+
+            ema_count_v.value = ema_count
+            ema_weight_v.value = ema_weight
+            codebook_v.value = ema_weight / ema_count[:, None]
+
+        e_loss = self.commitment_cost * jnp.mean(
+            (jax.lax.stop_gradient(quantized) - flat_x) ** 2)
+
+        quantized = flat_x + jax.lax.stop_gradient(quantized - flat_x)
+        quantized = quantized.reshape(b, h, w, d)
+        codes = codes.reshape(b, h * w)
+        return quantized, codes, e_loss
+
+    def vec_to_codes(self, z):
+        codebook = self.get_variable("vq_state", "codebook")
+        flat_x, (b, h, w, d) = _flatten(z)
+        return nearest_codes(flat_x, codebook).reshape(b, h * w)
+
+
+def gumbel_softmax(rng, logits, tau, hard: bool, axis: int = -1):
+    """Gumbel-softmax sample (matches torch F.gumbel_softmax semantics)."""
+    g = jax.random.gumbel(rng, logits.shape, logits.dtype)
+    y_soft = jax.nn.softmax((logits + g) / tau, axis=axis)
+    if hard:
+        idx = jnp.argmax(y_soft, axis=axis)
+        y_hard = jax.nn.one_hot(idx, logits.shape[axis], dtype=logits.dtype, axis=axis)
+        return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
+    return y_soft
+
+
+class GumbelVectorQuantizer(nn.Module):
+    """Gumbel-softmax VQ (reference vector_quantizers.py:206-274).
+
+    The encoder emits ``num_embeddings`` channels; an extra 1x1 conv maps them
+    to logits. ``temp`` / ``kl_cost`` are *call-time* scalars so schedules run
+    inside the jitted train step without recompilation.
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    straight_through: bool = False
+    temp: float = 1.0
+    kl_cost: float = 5e-4
+
+    @nn.compact
+    def __call__(self, z, train: bool = False, temp=None, kl_cost=None, rng=None):
+        n = self.num_embeddings
+        codebook = self.param("codebook", codebook_init(n),
+                              (n, self.embedding_dim), jnp.float32)
+        # x_to_logits: 1x1 conv N -> N (reference vector_quantizers.py:218)
+        logits_kernel = self.param("x_to_logits_kernel", conv_kernel_init,
+                                   (1, 1, n, n), jnp.float32)
+        logits_bias = self.param("x_to_logits_bias", conv_bias_init_for(n),
+                                 (n,), jnp.float32)
+
+        temp = self.temp if temp is None else temp
+        kl_cost = self.kl_cost if kl_cost is None else kl_cost
+        if rng is None:
+            rng = self.make_rng("gumbel")
+
+        b, h, w, _ = z.shape
+        logits = jnp.einsum("bhwn,nm->bhwm", z, logits_kernel[0, 0],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) + logits_bias
+
+        # deterministic (argmax-of-noised-logits) quantization at inference
+        hard = self.straight_through if train else True
+        soft_one_hot = gumbel_softmax(rng, logits, temp, hard=hard, axis=-1)
+
+        flat_oh = soft_one_hot.reshape(b * h * w, n)
+        quantized = jnp.matmul(flat_oh, codebook,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+        quantized = quantized.reshape(b, h, w, self.embedding_dim)
+
+        # KL(q || uniform) to spread codebook usage
+        qy = jax.nn.softmax(logits, axis=-1)
+        kl_loss = kl_cost * jnp.mean(
+            jnp.sum(qy * jnp.log(qy * n + 1e-10), axis=-1))
+
+        codes = jax.lax.stop_gradient(jnp.argmax(soft_one_hot, axis=-1).reshape(b, h * w))
+        return quantized, codes, kl_loss
+
+    def vec_to_codes(self, z, rng=None, deterministic: bool = False):
+        """Codes from raw encoder output.
+
+        The reference samples gumbel noise (tau=1, hard=True) on the *raw
+        encoder channels*, bypassing x_to_logits (vector_quantizers.py:265-274)
+        — a documented quirk replicated by default. ``deterministic=True``
+        returns plain argmax instead.
+        """
+        b, h, w, n = z.shape
+        if deterministic:
+            codes = jnp.argmax(z, axis=-1)
+        else:
+            if rng is None:
+                rng = self.make_rng("gumbel")
+            g = jax.random.gumbel(rng, z.shape, z.dtype)
+            codes = jnp.argmax(z + g, axis=-1)
+        return codes.reshape(b, h * w)
+
+
+class EntropyVectorQuantizer(nn.Module):
+    """MaskGIT entropy-regularized VQ (reference vector_quantizers.py:277-381)."""
+
+    num_embeddings: int
+    embedding_dim: int
+    ent_loss_ratio: float = 0.1
+    ent_temperature: float = 0.01
+    ent_loss_type: str = "softmax"
+    commitment_cost: float = 0.25
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        codebook = self.param("codebook", codebook_init(self.num_embeddings),
+                              (self.num_embeddings, self.embedding_dim), jnp.float32)
+        flat_x, (b, h, w, d) = _flatten(z)
+
+        # full distance matrix needed by the entropy loss (not just argmin)
+        x2 = jnp.sum(flat_x ** 2, axis=1, keepdims=True)
+        c2 = jnp.sum(codebook ** 2, axis=1)[None, :]
+        xc = jnp.matmul(flat_x, codebook.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        distances = x2 - 2 * xc + c2
+
+        codes = jnp.argmin(distances, axis=1)
+        quantized = jnp.take(codebook, codes, axis=0)
+
+        e_loss = self.commitment_cost * jnp.mean(
+            (jax.lax.stop_gradient(quantized) - flat_x) ** 2)
+        q_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat_x)) ** 2)
+        ent = self.ent_loss_ratio * entropy_loss(
+            -distances, self.ent_temperature, self.ent_loss_type)
+
+        quantized = flat_x + jax.lax.stop_gradient(quantized - flat_x)
+        quantized = quantized.reshape(b, h, w, d)
+        codes = jax.lax.stop_gradient(codes.reshape(b, h * w))
+        return quantized, codes, e_loss + q_loss + ent
+
+    def vec_to_codes(self, z):
+        codebook = self.get_variable("params", "codebook")
+        flat_x, (b, h, w, d) = _flatten(z)
+        return nearest_codes(flat_x, codebook).reshape(b, h * w)
+
+
+def entropy_loss(affinity: jnp.ndarray, temperature: float,
+                 loss_type: str = "softmax") -> jnp.ndarray:
+    """sample_entropy - avg_entropy over temperature-scaled affinities
+    (reference vector_quantizers.py:296-328)."""
+    n_classes = affinity.shape[-1]
+    affinity = affinity / temperature
+    probs = jax.nn.softmax(affinity, axis=-1)
+
+    if loss_type == "softmax":
+        target_probs = probs
+    elif loss_type == "argmax":
+        codes = jnp.argmax(affinity, axis=-1)
+        one_hots = jax.nn.one_hot(codes, n_classes, dtype=probs.dtype)
+        target_probs = probs - jax.lax.stop_gradient(probs - one_hots)
+    else:
+        raise ValueError(f"Entropy loss {loss_type} not supported")
+
+    avg_probs = jnp.mean(target_probs, axis=0)
+    avg_entropy = -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-5))
+
+    log_probs = jax.nn.log_softmax(affinity + 1e-5, axis=-1)
+    sample_entropy = jnp.mean(-jnp.sum(target_probs * log_probs, axis=-1))
+    return sample_entropy - avg_entropy
+
+
+def make_quantizer(q_type: str, num_embeddings: int, embedding_dim: int,
+                   params: dict, axis_name: Optional[str] = None) -> nn.Module:
+    """Quantizer factory mirroring the reference dispatch (model.py:89-124)."""
+    if q_type == "standard":
+        return VectorQuantizer(
+            num_embeddings, embedding_dim,
+            commitment_cost=float(params["commitment_cost"]))
+    if q_type == "ema":
+        return EMAVectorQuantizer(
+            num_embeddings, embedding_dim,
+            commitment_cost=float(params["commitment_cost"]),
+            decay=float(params["decay"]),
+            epsilon=float(params["epsilon"]),
+            axis_name=axis_name)
+    if q_type == "gumbel":
+        return GumbelVectorQuantizer(
+            num_embeddings, embedding_dim,
+            straight_through=bool(params["straight_through"]),
+            temp=float(params["temp"]),
+            kl_cost=float(params["kl_cost"]))
+    if q_type == "entropy":
+        return EntropyVectorQuantizer(
+            num_embeddings, embedding_dim,
+            ent_loss_ratio=float(params["ent_loss_ratio"]),
+            ent_temperature=float(params["ent_temperature"]),
+            ent_loss_type=str(params["ent_loss_type"]),
+            commitment_cost=float(params["commitment_cost"]))
+    raise ValueError(f"unrecognized quantizer: {q_type}")

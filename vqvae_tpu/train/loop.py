@@ -1,0 +1,264 @@
+"""The training orchestrator — replaces pytorch_lightning.Trainer.
+
+Drives the compiled steps from vqvae_tpu/train/steps.py with the reference's
+training protocol (train.py:128-142, model.py:163-370):
+
+- per-step LR / gumbel schedules evaluated inside the jitted step
+- validation every 5 epochs (train.py:131 check_val_every_n_epoch=5)
+- dead-code re-initialization every N epochs from the epoch's (whole-epoch)
+  usage histogram (model.py:297-303)
+- reconstruction panels at batch 2 (train: every 5th epoch; val: always —
+  model.py:241,319)
+- checkpoints every N epochs + 'last' (train.py:121-122)
+- the discriminator phase starts at adversarial start_epoch by swapping in
+  the GAN-staged compiled step (see steps.py docstring)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_tpu.config import Config
+from vqvae_tpu.models.discriminator import Discriminator
+from vqvae_tpu.models.lpips import init_lpips
+from vqvae_tpu.models.preprocess import denormalize
+from vqvae_tpu.models.quantizers import get_codebook_usage, reinit_unused_codes
+from vqvae_tpu.models.vqvae import VQVAE, model_rngs
+from vqvae_tpu.parallel.mesh import create_mesh, shard_batch
+from vqvae_tpu.train.optim import make_ae_optimizer, make_disc_optimizer
+from vqvae_tpu.train.schedules import build_gumbel_schedules, build_lr_schedule
+from vqvae_tpu.train.state import TrainState, create_train_state
+from vqvae_tpu.train.steps import build_steps
+from vqvae_tpu.utils.checkpoint import CheckpointManager
+from vqvae_tpu.utils.logging import MetricLogger, make_recon_panel
+
+
+@dataclass
+class Trainer:
+    cfg: Config
+    learning_rate: float
+    seed: int
+    steps_per_epoch: int
+    mesh: Optional[object] = None
+    compute_dtype: object = jnp.float32
+    lpips_params_override: Optional[object] = None
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.is_gumbel = cfg.quantizer.type == "gumbel"
+        axis_name = "data" if self.mesh is not None else None
+        self.model = VQVAE.from_config(cfg, dtype=self.compute_dtype,
+                                       axis_name=axis_name)
+
+        t = cfg.training
+        self.lr_sched = build_lr_schedule(
+            self.learning_rate, self.steps_per_epoch,
+            t.warmup_epochs, t.decay_epochs)
+        self.temp_sched = self.kl_sched = None
+        if self.is_gumbel:
+            p = cfg.quantizer.params
+            self.temp_sched, self.kl_sched = build_gumbel_schedules(
+                float(p["temp"]), float(p["kl_cost"]), self.steps_per_epoch,
+                p.get("kl_warmup_epochs"), p.get("temp_decay_epochs"),
+                p.get("temp_final"))
+
+        self.tx = make_ae_optimizer(self.lr_sched, t.betas, t.eps, t.weight_decay)
+
+        # loss stack
+        self.disc = None
+        self.disc_tx = None
+        lpips_apply = None
+        if cfg.loss is not None:
+            net_type = "vgg" if cfg.use_adversarial else "alex"
+            lpips_module, lpips_params = init_lpips(net_type, cfg.image_size,
+                                                    seed=self.seed)
+            if self.lpips_params_override is not None:
+                lpips_params = self.lpips_params_override
+            self.lpips_params = lpips_params
+
+            def lpips_apply(x, y, _m=lpips_module, _p=lpips_params):
+                return _m.apply({"params": _p}, x, y)
+
+            if cfg.use_adversarial:
+                self.disc = Discriminator(img_resolution=cfg.image_size)
+                self.disc_tx = make_disc_optimizer(self.lr_sched, t.betas,
+                                                   t.eps, t.weight_decay)
+
+        self.steps = build_steps(
+            cfg, self.model, self.tx, self.mesh,
+            disc=self.disc, disc_tx=self.disc_tx, lpips_apply=lpips_apply,
+            lr_sched=self.lr_sched, temp_sched=self.temp_sched,
+            kl_sched=self.kl_sched)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        cfg = self.cfg
+        rngs = model_rngs(self.seed, cfg.quantizer.type)
+        dummy = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        variables = self.model.init(rngs, dummy, train=False)
+        params = variables["params"]
+        vq_state = variables.get("vq_state")
+        opt_state = self.tx.init(params)
+
+        disc_params = disc_opt = None
+        if self.disc is not None:
+            disc_vars = self.disc.init(jax.random.PRNGKey(self.seed + 1), dummy)
+            disc_params = disc_vars["params"]
+            disc_opt = self.disc_tx.init(disc_params)
+
+        state = create_train_state(params, opt_state,
+                                   cfg.quantizer.num_embeddings, self.seed,
+                                   vq_state=vq_state, disc_params=disc_params,
+                                   disc_opt_state=disc_opt)
+        if self.mesh is not None:
+            from vqvae_tpu.parallel.mesh import replicate
+            state = replicate(state, self.mesh)
+        return state
+
+    def gan_active(self, epoch: int) -> bool:
+        return (self.cfg.use_adversarial
+                and epoch >= self.cfg.loss.adversarial.start_epoch)
+
+    def train_step(self, state, batch, epoch: int):
+        images = batch["image"]
+        if self.mesh is not None:
+            images = shard_batch(images, self.mesh)
+        fn = (self.steps.train_gan if self.gan_active(epoch)
+              else self.steps.train_pre)
+        return fn(state, images)
+
+    def eval_step(self, state, batch, epoch: int):
+        images = batch["image"]
+        if self.mesh is not None:
+            images = shard_batch(images, self.mesh)
+        return self.steps.eval_step(state, images,
+                                    gan_active=self.gan_active(epoch))
+
+    # ------------------------------------------------------------------
+    def maybe_reinit_codes(self, state: TrainState, epoch: int) -> TrainState:
+        """Dead-code re-init on epoch end (reference model.py:297-303)."""
+        every = self.cfg.quantizer.reinit_every_n_epochs
+        if every is None or epoch == 0 or epoch % every != 0:
+            return state
+        probs, _, _ = get_codebook_usage(state.usage_count)
+        rng = jax.random.fold_in(state.rng, 7919 + epoch)
+        if self.cfg.quantizer.type == "ema":
+            cb = state.vq_state["quantizer"]["codebook"]
+            new_cb = reinit_unused_codes(cb, probs, rng)
+            vq = dict(state.vq_state)
+            vq["quantizer"] = dict(vq["quantizer"], codebook=new_cb)
+            return state.replace(vq_state=vq)
+        cb = state.params["quantizer"]["codebook"]
+        new_cb = reinit_unused_codes(cb, probs, rng)
+        params = dict(state.params)
+        params["quantizer"] = dict(params["quantizer"], codebook=new_cb)
+        return state.replace(params=params)
+
+    def reset_usage(self, state: TrainState) -> TrainState:
+        return state.replace(usage_count=jnp.zeros_like(state.usage_count))
+
+
+def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
+                 learning_rate: float, save_dir: str, run_name: str,
+                 save_every_n_epochs: int = 1, logger: MetricLogger = None,
+                 resume_path: Optional[str] = None, mesh=None,
+                 compute_dtype=jnp.float32, max_epochs: Optional[int] = None,
+                 check_val_every: int = 5, log_recon_batch: int = 2):
+    """Full training run; returns the final TrainState."""
+    steps_per_epoch = len(train_loader)
+    trainer = Trainer(cfg=cfg, learning_rate=learning_rate, seed=seed,
+                      steps_per_epoch=steps_per_epoch, mesh=mesh,
+                      compute_dtype=compute_dtype)
+    state = trainer.init_state()
+    ckpt = CheckpointManager(save_dir, run_name, save_every_n_epochs)
+    logger = logger or MetricLogger(save_dir, run_name)
+
+    start_epoch = 0
+    if resume_path is not None:
+        state, start_epoch = ckpt.restore(resume_path, state)
+        start_epoch += 1
+        print(f"[INFO] resumed from {resume_path} at epoch {start_epoch}")
+
+    max_epochs = max_epochs or cfg.training.max_epochs
+    use_adv = cfg.use_adversarial
+    if use_adv:
+        # mbstd(group=4) constraint (reference train.py:139-140)
+        n_dev = mesh.devices.size if mesh is not None else 1
+        per_dev = train_loader.batch_size // max(n_dev, 1)
+        if per_dev % 4 != 0:
+            raise RuntimeError(
+                "batch size per device must be divisible by 4! "
+                "(minibatch-std group size in the StyleGAN discriminator)")
+
+    for epoch in range(start_epoch, max_epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        n_img = 0
+        last_metrics = {}
+        for batch_index, batch in enumerate(train_loader):
+            state, metrics = trainer.train_step(state, batch, epoch)
+            n_img += batch["image"].shape[0]
+            last_metrics = metrics
+            if batch_index == log_recon_batch and epoch % 5 == 0:
+                _, _, recons = trainer.eval_step(state, batch, epoch)
+                panel = make_recon_panel(
+                    np.asarray(batch["image"], np.float32) / 255.0
+                    if batch["image"].dtype == np.uint8
+                    else np.asarray(batch["image"]),
+                    np.asarray(recons))
+                logger.log_images(panel, int(state.step),
+                                  "train/reconstructions")
+
+        metrics = {k: float(v) for k, v in last_metrics.items()}
+        metrics["images_per_sec"] = n_img / max(time.time() - t0, 1e-9)
+        metrics["epoch"] = epoch
+        logger.log(metrics, int(state.step), prefix="train/")
+
+        # validation every `check_val_every` epochs (train.py:131)
+        if epoch % check_val_every == 0 and val_loader is not None:
+            val_metrics, usage = run_validation(
+                trainer, state, val_loader, epoch, logger=logger,
+                log_recon_batch=log_recon_batch)
+            _, perplexity, cb_usage = get_codebook_usage(jnp.asarray(usage))
+            logger.log({"used_codebook": float(cb_usage),
+                        "perplexity": float(perplexity)},
+                       int(state.step), prefix="val_metrics/")
+            logger.log(val_metrics, int(state.step), prefix="validation/")
+
+        state = trainer.maybe_reinit_codes(state, epoch)
+        state = trainer.reset_usage(state)
+        ckpt.save(state, epoch)
+
+    return state, trainer
+
+
+def run_validation(trainer, state, val_loader, epoch, logger=None,
+                   log_recon_batch: int = 2):
+    sums, count = {}, 0
+    usage = None
+    for batch_index, batch in enumerate(val_loader):
+        if not batch["mask"].all():
+            continue  # partial final batch: skip (static-shape eval)
+        metrics, batch_usage, recons = trainer.eval_step(state, batch, epoch)
+        usage = batch_usage if usage is None else usage + batch_usage
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+        if batch_index == log_recon_batch and logger is not None:
+            panel = make_recon_panel(
+                np.asarray(batch["image"], np.float32) / 255.0
+                if batch["image"].dtype == np.uint8
+                else np.asarray(batch["image"]),
+                np.asarray(recons))
+            logger.log_images(panel, int(state.step),
+                              "validation/reconstructions")
+    mean = {k: v / max(count, 1) for k, v in sums.items()}
+    if usage is None:
+        usage = np.zeros((trainer.cfg.quantizer.num_embeddings,), np.int32)
+    return mean, np.asarray(usage)

@@ -1,0 +1,328 @@
+"""Jitted, mesh-sharded train / eval steps.
+
+TPU re-design of the reference's eager Lightning training_step
+(model.py:232-295) and the VQGAN loss orchestration (loss.py:114-164):
+
+- ONE compiled step per training phase. The discriminator's epoch gating
+  (loss.py:125,147) is *staged compilation*: a pre-adversarial step (no D at
+  all) and an adversarial step, selected by the host loop at the epoch
+  boundary — no wasted D FLOPs before start_epoch and no dynamic branches in
+  the hot path. The R1 cadence (every 16 steps, loss.py:148) stays a runtime
+  ``lax.cond`` inside the step.
+- Data parallelism via ``shard_map`` over the ``data`` mesh axis: gradients /
+  metrics are ``pmean``-reduced, EMA codebook accumulators are ``psum``-reduced
+  inside the quantizer, usage histograms are ``psum``-reduced — the explicit
+  psum-on-ICI design (the reference delegates grads to DDP and silently leaves
+  EMA buffers and usage counts replica-local, SURVEY §5).
+- Both GAN phases (AE update, then D update on the same reconstructions)
+  execute in the same compiled step, mirroring the reference's manual
+  two-optimizer loop (model.py:244-264).
+- R1 reuses the real-logits forward via ``jax.vjp`` (one D forward gives the
+  loss logits and the input-gradient); its parameter gradient is a 2nd-order
+  derivative that JAX composes natively — no `no_weight_gradients` hack.
+- Augmentation / gumbel RNG is derived per step and folded with the mesh axis
+  index so every replica draws independent noise.
+
+Intentional fixes of reference bugs (SURVEY §2.4), documented divergences:
+- training_step returns the autoencoder loss (the reference's `return loss`
+  is unbound in non-GAN configs, model.py:295).
+- usage counts accumulate over the epoch (the reference's `+ used_indices`
+  unary-plus keeps only the last batch, model.py:293).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8: jax.shard_map with check_vma kwarg
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from vqvae_tpu.config import Config
+from vqvae_tpu.losses.losses import discriminator_loss, generator_loss
+from vqvae_tpu.models.preprocess import denormalize, preprocess_batch
+from vqvae_tpu.models.quantizers import count_code_usage
+from vqvae_tpu.train.state import TrainState
+
+AXIS = "data"
+
+
+class StepBundle(NamedTuple):
+    """Compiled step functions for one training run."""
+    train_pre: Callable      # before the discriminator starts (or the only step)
+    train_gan: Optional[Callable]
+    eval_step: Callable
+
+
+def _replace_last_kernel(params, kernel):
+    """Substitute the decoder's final conv kernel (adaptive g-weight path,
+    reference loss.py:80-96 computes grads w.r.t. decoder.conv_out.weight)."""
+    new = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy pytree
+    new["decoder"]["conv_out"]["Conv_0"] = dict(
+        new["decoder"]["conv_out"]["Conv_0"], kernel=kernel)
+    return new
+
+
+def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
+                disc=None, disc_tx=None, lpips_apply=None,
+                lr_sched=None, temp_sched=None, kl_sched=None) -> StepBundle:
+    """Create the compiled train/eval steps for a config.
+
+    Args:
+      cfg: parsed Config.
+      model: VQVAE flax module.
+      tx: AE optax optimizer.
+      mesh: data-parallel mesh (None = single device, no collectives).
+      disc: Discriminator module (GAN configs).
+      disc_tx: discriminator optimizer.
+      lpips_apply: ``lpips_apply(x, y) -> scalar`` with frozen params closed
+        over (LPIPS weights live in no optimizer, reference model.py:419-427).
+      lr_sched/temp_sched/kl_sched: step -> scalar schedules (logging + gumbel).
+    """
+    is_gumbel = cfg.quantizer.type == "gumbel"
+    is_ema = cfg.quantizer.type == "ema"
+    n_codes = cfg.quantizer.num_embeddings
+    l_conf = cfg.loss
+    adv = l_conf.adversarial if l_conf is not None else None
+
+    def forward(params, vq_state, images, rng, step, train):
+        variables = {"params": params}
+        mutable = False
+        if vq_state is not None:
+            variables["vq_state"] = vq_state
+            if train:
+                mutable = ["vq_state"]
+        kwargs = {}
+        rngs = {}
+        if is_gumbel:
+            kwargs["temp"] = temp_sched(step) if temp_sched else None
+            kwargs["kl_cost"] = kl_sched(step) if kl_sched else None
+            rngs["gumbel"] = jax.random.fold_in(rng, 1)
+        out = model.apply(variables, images, train=train, rngs=rngs or None,
+                          mutable=mutable, **kwargs)
+        if mutable:
+            (recon, q_loss, codes), new_vars = out
+            return recon, q_loss, codes, new_vars.get("vq_state")
+        recon, q_loss, codes = out
+        return recon, q_loss, codes, vq_state
+
+    def recon_losses(images, recon):
+        l1 = jnp.mean(jnp.abs(images - recon))
+        l2 = jnp.mean((images - recon) ** 2)
+        if l_conf is not None:
+            p = lpips_apply(images, recon)
+            nll = (l1 * l_conf.l1_weight + l2 * l_conf.l2_weight
+                   + p * l_conf.perc_weight)
+        else:
+            p = jnp.zeros(())
+            nll = l2
+        return l1, l2, p, nll
+
+    def _pmean(tree):
+        if mesh is None:
+            return tree
+        return jax.lax.pmean(tree, AXIS)
+
+    def _psum(tree):
+        if mesh is None:
+            return tree
+        return jax.lax.psum(tree, AXIS)
+
+    # ------------------------------------------------------------------
+    # train step (one function parameterized by gan_active, staged twice)
+    # ------------------------------------------------------------------
+    def _train_step(state: TrainState, batch, gan_active: bool):
+        rng = state.next_rng()
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+        rng_aug, rng_model = jax.random.split(rng)
+
+        images = preprocess_batch(batch, rng_aug, training=True,
+                                  image_size=cfg.image_size)
+
+        def ae_loss_fn(params, vq_state):
+            recon, q_loss, codes, new_vq = forward(
+                params, vq_state, images, rng_model, state.step, train=True)
+            l1, l2, p, nll = recon_losses(images, recon)
+
+            if adv is not None and gan_active:
+                logits_fake = disc.apply({"params": state.disc_params}, recon)
+                g_loss = generator_loss(logits_fake, adv.loss_type)
+                if adv.use_adaptive:
+                    # lambda = |grad_W nll_perc| / (|grad_W g| + 1e-8), W = last
+                    # decoder kernel (reference loss.py:80-96; grads w.r.t.
+                    # p_loss per model.py:249-251 callsite).
+                    w0 = params["decoder"]["conv_out"]["Conv_0"]["kernel"]
+
+                    def pg_of_w(w):
+                        params2 = _replace_last_kernel(params, w)
+                        recon2, _, _, _ = forward(params2, vq_state, images,
+                                                  rng_model, state.step, True)
+                        p2 = lpips_apply(images, recon2)
+                        g2 = generator_loss(
+                            disc.apply({"params": state.disc_params}, recon2),
+                            adv.loss_type)
+                        return p2, g2
+
+                    _, vjp = jax.vjp(lambda w: jnp.stack(pg_of_w(w)), w0)
+                    gp = vjp(jnp.array([1.0, 0.0]))[0]
+                    gg = vjp(jnp.array([0.0, 1.0]))[0]
+                    g_weight = jnp.linalg.norm(gp.reshape(-1)) / (
+                        jnp.linalg.norm(gg.reshape(-1)) + 1e-8)
+                    g_weight = jnp.clip(g_weight, 0.0, 1e4) * adv.g_weight
+                    g_weight = jax.lax.stop_gradient(g_weight)
+                else:
+                    g_weight = jnp.asarray(adv.g_weight, jnp.float32)
+                loss = nll + g_loss * g_weight + q_loss
+            else:
+                g_loss = jnp.zeros(())
+                g_weight = jnp.zeros(())
+                loss = nll + q_loss if l_conf is not None else q_loss + l2
+
+            aux = dict(recon=recon, codes=codes, new_vq=new_vq, q_loss=q_loss,
+                       l1=l1, l2=l2, p=p, g_loss=g_loss, g_weight=g_weight)
+            return loss, aux
+
+        (ae_loss, aux), grads = jax.value_and_grad(ae_loss_fn, has_aux=True)(
+            state.params, state.vq_state)
+        grads = _pmean(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_vq = aux["new_vq"]  # already psum-reduced inside the quantizer
+
+        # ---------------- discriminator phase ----------------
+        if adv is not None and gan_active:
+            recon_sg = jax.lax.stop_gradient(aux["recon"])
+
+            def d_loss_fn(disc_params):
+                logits_real, d_vjp = jax.vjp(
+                    lambda im: disc.apply({"params": disc_params}, im), images)
+                logits_fake = disc.apply({"params": disc_params}, recon_sg)
+                d_loss = discriminator_loss(logits_real, logits_fake,
+                                            adv.loss_type)
+                if adv.r1_reg_weight is not None:
+                    def r1_fn(_):
+                        grad_imgs = d_vjp(jnp.ones_like(logits_real))[0]
+                        per = jnp.sum(grad_imgs.reshape(grad_imgs.shape[0], -1) ** 2,
+                                      axis=1)
+                        return adv.r1_reg_weight * jnp.mean(per)
+
+                    compute_r1 = (state.step % adv.r1_reg_every) == 0
+                    r1 = jax.lax.cond(compute_r1, r1_fn,
+                                      lambda _: jnp.zeros(()), None)
+                else:
+                    r1 = jnp.zeros(())
+                return d_loss + r1, (d_loss, r1)
+
+            (_, (d_loss, r1)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.disc_params)
+            d_grads = _pmean(d_grads)
+            d_updates, new_disc_opt = disc_tx.update(
+                d_grads, state.disc_opt_state, state.disc_params)
+            new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        else:
+            d_loss = jnp.zeros(())
+            r1 = jnp.zeros(())
+            new_disc_params = state.disc_params
+            new_disc_opt = state.disc_opt_state
+
+        usage = _psum(count_code_usage(aux["codes"], n_codes))
+
+        metrics = {
+            "loss": ae_loss, "l1_loss": aux["l1"], "l2_loss": aux["l2"],
+            "quant_loss": aux["q_loss"], "perc_loss": aux["p"],
+            "gen_loss": aux["g_loss"], "disc_loss": d_loss,
+            "r1_penalty": r1, "g_weight": aux["g_weight"],
+        }
+        metrics = _pmean(metrics)
+        if lr_sched is not None:
+            metrics["lr"] = lr_sched(state.step)
+        if is_gumbel and temp_sched is not None:
+            metrics["gumbel_temperature"] = temp_sched(state.step)
+            metrics["gumbel_kl"] = kl_sched(state.step)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            vq_state=new_vq,
+            disc_params=new_disc_params,
+            disc_opt_state=new_disc_opt,
+            usage_count=state.usage_count + usage,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # eval step (validation/test: no augs, no optimizer, no EMA mutation)
+    # ------------------------------------------------------------------
+    def _eval_step(state: TrainState, batch, gan_active: bool):
+        images = preprocess_batch(batch)
+        rng_model = jax.random.fold_in(state.rng, state.step)
+        if mesh is not None:
+            rng_model = jax.random.fold_in(rng_model, jax.lax.axis_index(AXIS))
+        recon, q_loss, codes, _ = forward(state.params, state.vq_state, images,
+                                          rng_model, state.step, train=False)
+        l1, l2, p, nll = recon_losses(images, recon)
+
+        if adv is not None and gan_active:
+            logits_fake = disc.apply({"params": state.disc_params}, recon)
+            g_loss = generator_loss(logits_fake, adv.loss_type)
+            logits_real = disc.apply({"params": state.disc_params}, images)
+            d_loss = discriminator_loss(logits_real, logits_fake, adv.loss_type)
+            loss = nll + g_loss * adv.g_weight + q_loss
+        else:
+            g_loss = jnp.zeros(())
+            d_loss = jnp.zeros(())
+            loss = nll + q_loss if l_conf is not None else q_loss + l2
+
+        usage = _psum(count_code_usage(codes, n_codes))
+        metrics = _pmean({
+            "loss": loss, "l1_loss": l1, "l2_loss": l2, "quant_loss": q_loss,
+            "perc_loss": p, "gen_loss": g_loss, "disc_loss": d_loss,
+        })
+        # reconstructions in [0,1] for logging panels (model.py:442-456)
+        return metrics, usage, denormalize(recon)
+
+    # ------------------------------------------------------------------
+    # wrap in shard_map + jit
+    # ------------------------------------------------------------------
+    def _wrap(fn, donate=True, n_out_sharded=0):
+        if mesh is None:
+            return jax.jit(fn, donate_argnums=(0,) if donate else ())
+        out_specs: Any = (P(), P())
+        if n_out_sharded:
+            out_specs = (P(), P(), P(AXIS))
+        mapped = shard_map(fn, mesh=mesh, in_specs=(P(), P(AXIS)),
+                           out_specs=out_specs, check_rep=False)
+        return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+    train_pre = _wrap(functools.partial(_train_step, gan_active=False))
+    train_gan = (_wrap(functools.partial(_train_step, gan_active=True))
+                 if adv is not None else None)
+
+    eval_pre = _wrap(functools.partial(_eval_step, gan_active=False),
+                     donate=False, n_out_sharded=1)
+    if adv is not None:
+        eval_gan = _wrap(functools.partial(_eval_step, gan_active=True),
+                         donate=False, n_out_sharded=1)
+
+        def eval_step(state, batch, gan_active=False):
+            return (eval_gan if gan_active else eval_pre)(state, batch)
+    else:
+        def eval_step(state, batch, gan_active=False):
+            return eval_pre(state, batch)
+
+    return StepBundle(train_pre=train_pre, train_gan=train_gan,
+                      eval_step=eval_step)

@@ -1,0 +1,76 @@
+"""Orbax checkpointing: params + optimizer state + EMA buffers + counters.
+
+Replaces Lightning's ModelCheckpoint (reference train.py:121-122:
+save_last=True, save_top_k=-1, every_n_epochs=N) and `load_from_checkpoint`
+resume (train.py:106-114) with orbax snapshots laid out as::
+
+    <save_dir>/<run_name>/epoch_<E>/   (periodic, kept forever: save_top_k=-1)
+    <save_dir>/<run_name>/last/        (overwritten every save)
+
+Each snapshot stores the full TrainState pytree plus the epoch number, so a
+restart resumes optimizer moments, EMA codebook state, usage counters, RNG
+and the step counter exactly.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from vqvae_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, run_name: str,
+                 save_every_n_epochs: int = 1):
+        self.dir = Path(save_dir) / run_name
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.every = max(1, int(save_every_n_epochs))
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _payload(self, state: TrainState, epoch: int):
+        return {"state": state, "epoch": epoch}
+
+    def save(self, state: TrainState, epoch: int):
+        payload = self._payload(state, epoch)
+        if epoch % self.every == 0:
+            self._save_to(self.dir / f"epoch_{epoch:04d}", payload)
+        self._save_to(self.dir / "last", payload)
+
+    def _save_to(self, path: Path, payload):
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(str(path), payload)
+
+    def restore(self, path: str, template_state: TrainState):
+        """Restore a snapshot; `template_state` supplies the pytree structure
+        and shardings (abstract restore)."""
+        template = self._payload(template_state, 0)
+        restored = self._ckpt.restore(str(Path(path)), item=template)
+        return restored["state"], int(restored["epoch"])
+
+
+def restore_for_eval(path: str, template_state: TrainState) -> TrainState:
+    """Load only model weights (params / vq_state / step) from any snapshot,
+    ignoring optimizer and discriminator state — the eval-time equivalent of
+    the reference's ``load_from_checkpoint(strict=False, load_loss=False)``
+    (evaluate.py:48-49)."""
+    import jax.numpy as jnp
+    raw = ocp.PyTreeCheckpointer().restore(str(Path(path)))
+    saved = raw["state"]
+    state = template_state.replace(
+        params=jax.tree.map(jnp.asarray, saved["params"]),
+        step=jnp.asarray(saved["step"], jnp.int32),
+    )
+    if saved.get("vq_state") is not None:
+        state = state.replace(vq_state=jax.tree.map(jnp.asarray, saved["vq_state"]))
+    return state
+
+
+def latest_checkpoint(save_dir: str, run_name: str) -> Optional[str]:
+    last = Path(save_dir) / run_name / "last"
+    return str(last) if last.exists() else None
