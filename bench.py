@@ -26,6 +26,14 @@ import time
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: 256^2 GAN-step compiles are expensive
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import numpy as np
 
     from vqvae_tpu.config import parse_config

@@ -172,6 +172,10 @@ class Encoder(nn.Module):
     stem 3x3 -> per-multiplier [num_res_blocks ResBlocks + Downsample]
     -> num_res_blocks final ResBlocks -> GN -> SiLU -> 1x1 conv to
     embedding_dim. Output spatial = input / 2**len(channel_multipliers).
+
+    ``remat=True`` checkpoints each ResBlock (recompute-in-backward): at
+    256^2 the full-resolution activations dominate HBM, and trading ~1/3
+    extra FLOPs for ~4x activation memory is the right call on 16 GB chips.
     """
 
     channels: int
@@ -179,20 +183,22 @@ class Encoder(nn.Module):
     channel_multipliers: Sequence[int]
     embedding_dim: int
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        block = nn.remat(ResBlock) if self.remat else ResBlock
         x = x.astype(self.dtype)
         x = Conv(self.channels, 3, use_bias=False, dtype=self.dtype, name="conv_in")(x)
 
         for i, mult in enumerate(self.channel_multipliers):
             ch_out = self.channels * mult
             for j in range(self.num_res_blocks):
-                x = ResBlock(ch_out, dtype=self.dtype, name=f"down_{i}_block_{j}")(x)
+                x = block(ch_out, dtype=self.dtype, name=f"down_{i}_block_{j}")(x)
             x = Downsample(dtype=self.dtype, name=f"down_{i}_pool")(x)
 
         for j in range(self.num_res_blocks):
-            x = ResBlock(dtype=self.dtype, name=f"final_block_{j}")(x)
+            x = block(dtype=self.dtype, name=f"final_block_{j}")(x)
 
         x = GroupNorm(dtype=self.dtype, name="norm_out")(x)
         x = nn.silu(x)
@@ -210,9 +216,11 @@ class Decoder(nn.Module):
     channel_multipliers: Sequence[int]
     embedding_dim: int  # input latent dim
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        block = nn.remat(ResBlock) if self.remat else ResBlock
         x = x.astype(self.dtype)
         n_levels = len(self.channel_multipliers)
 
@@ -220,14 +228,14 @@ class Decoder(nn.Module):
                  dtype=self.dtype, name="conv_in")(x)
 
         for j in range(self.num_res_blocks):
-            x = ResBlock(dtype=self.dtype, name=f"initial_block_{j}")(x)
+            x = block(dtype=self.dtype, name=f"initial_block_{j}")(x)
 
         # mirror of the encoder: level i (from top) with ch_out =
         # channels * multipliers[i-1] for i > 0 else channels
         for i in reversed(range(n_levels)):
             ch_out = self.channels * self.channel_multipliers[i - 1] if i > 0 else self.channels
             for j in range(self.num_res_blocks):
-                x = ResBlock(ch_out, dtype=self.dtype, name=f"up_{i}_block_{j}")(x)
+                x = block(ch_out, dtype=self.dtype, name=f"up_{i}_block_{j}")(x)
             x = Upsample(ch_out, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
         x = GroupNorm(dtype=self.dtype, name="norm_out")(x)

@@ -195,6 +195,7 @@ class Discriminator(nn.Module):
     channel_max: int = 512
     activation: str = "lrelu"
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, img):
@@ -204,9 +205,10 @@ class Discriminator(nn.Module):
         channels = {res: min(self.channel_base // res, self.channel_max)
                     for res in block_resolutions + [4]}
 
+        block_cls = nn.remat(DiscriminatorBlock) if self.remat else DiscriminatorBlock
         x = None
         for res in block_resolutions:
-            x = DiscriminatorBlock(
+            x = block_cls(
                 tmp_channels=channels[res],
                 out_channels=channels[res // 2],
                 has_fromrgb=(res == self.img_resolution),

@@ -45,6 +45,7 @@ SQUEEZE_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
 
 
 def _normalize_activation(x, eps=1e-10):
+    x = x.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     return x / (norm + eps)
 
@@ -52,14 +53,18 @@ def _normalize_activation(x, eps=1e-10):
 class VGG16Features(nn.Module):
     """torchvision VGG16 `.features` up to relu5_3, returning the 5 LPIPS taps."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         cfg = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
         taps = []
         idx = 0
+        x = x.astype(self.dtype)
         for stage, (ch, n_convs) in enumerate(cfg):
             for _ in range(n_convs):
-                x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{idx}")(x)
+                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"conv{idx}")(x)
                 x = nn.relu(x)
                 idx += 1
             taps.append(_normalize_activation(x))
@@ -71,45 +76,113 @@ class VGG16Features(nn.Module):
 class AlexNetFeatures(nn.Module):
     """torchvision AlexNet `.features`, returning the 5 LPIPS taps."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         taps = []
-        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2, name="conv0")(x)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2, dtype=self.dtype,
+                    name="conv0")(x)
         x = nn.relu(x)
         taps.append(_normalize_activation(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(192, (5, 5), padding=2, name="conv1")(x)
+        x = nn.Conv(192, (5, 5), padding=2, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         taps.append(_normalize_activation(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(384, (3, 3), padding=1, name="conv2")(x)
+        x = nn.Conv(384, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         taps.append(_normalize_activation(x))
-        x = nn.Conv(256, (3, 3), padding=1, name="conv3")(x)
+        x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv3")(x)
         x = nn.relu(x)
         taps.append(_normalize_activation(x))
-        x = nn.Conv(256, (3, 3), padding=1, name="conv4")(x)
+        x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv4")(x)
         x = nn.relu(x)
         taps.append(_normalize_activation(x))
         return taps
 
 
+class Fire(nn.Module):
+    """SqueezeNet Fire module: squeeze 1x1 -> expand {1x1, 3x3} concat."""
+
+    squeeze: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.squeeze, (1, 1), name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), name="expand1x1")(x))
+        e3 = nn.relu(nn.Conv(self.expand, (3, 3), padding=1, name="expand3x3")(x))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+def _max_pool_ceil(x, window=3, stride=2):
+    """torchvision squeezenet1_1 pools use ceil_mode=True."""
+    h, w = x.shape[1], x.shape[2]
+    pad_h = max(0, (-(h - window) % stride))
+    pad_w = max(0, (-(w - window) % stride))
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=[(0, pad_h), (0, pad_w)])
+
+
+class SqueezeNetFeatures(nn.Module):
+    """torchvision squeezenet1_1 `.features`, returning the 7 LPIPS taps
+    (reference networks.py:67-74: layers [2,5,8,10,11,12,13])."""
+
+    @nn.compact
+    def __call__(self, x):
+        taps = []
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding=0,
+                            name="conv0")(x))
+        taps.append(_normalize_activation(x))                     # layer 2
+        x = _max_pool_ceil(x)
+        x = Fire(16, 64, name="fire1")(x)
+        x = Fire(16, 64, name="fire2")(x)
+        taps.append(_normalize_activation(x))                     # layer 5
+        x = _max_pool_ceil(x)
+        x = Fire(32, 128, name="fire3")(x)
+        x = Fire(32, 128, name="fire4")(x)
+        taps.append(_normalize_activation(x))                     # layer 8
+        x = _max_pool_ceil(x)
+        x = Fire(48, 192, name="fire5")(x)
+        taps.append(_normalize_activation(x))                     # layer 10
+        x = Fire(48, 192, name="fire6")(x)
+        taps.append(_normalize_activation(x))                     # layer 11
+        x = Fire(64, 256, name="fire7")(x)
+        taps.append(_normalize_activation(x))                     # layer 12
+        x = Fire(64, 256, name="fire8")(x)
+        taps.append(_normalize_activation(x))                     # layer 13
+        return taps
+
+
 class LPIPS(nn.Module):
-    """LPIPS(x, y) for NHWC images in (-1, 1) (reference modules/lpips.py:8-38)."""
+    """LPIPS(x, y) for NHWC images in (-1, 1) (reference modules/lpips.py:8-38).
+
+    ``dtype`` sets the backbone conv compute dtype (bf16 for training-loss
+    use, mirroring the reference's AMP 16-mixed LPIPS; fp32 default for
+    eval-grade numbers). Tap normalization and the distance accumulation are
+    always fp32.
+    """
 
     net_type: str = "vgg"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, y):
         if self.net_type == "vgg":
-            net = VGG16Features(name="net")
+            net = VGG16Features(dtype=self.dtype, name="net")
             channels = VGG16_CHANNELS
         elif self.net_type == "alex":
-            net = AlexNetFeatures(name="net")
+            net = AlexNetFeatures(dtype=self.dtype, name="net")
             channels = ALEX_CHANNELS
+        elif self.net_type == "squeeze":
+            net = SqueezeNetFeatures(name="net")
+            channels = SQUEEZE_CHANNELS
         else:
             raise NotImplementedError(
-                f"LPIPS net_type {self.net_type!r} not supported (vgg | alex)")
+                f"LPIPS net_type {self.net_type!r} not supported "
+                "(vgg | alex | squeeze)")
 
         def z_score(im):
             return (im.astype(jnp.float32) - _SHIFT) / _SCALE
@@ -132,10 +205,11 @@ def lpips_weights_path(net_type: str) -> Path:
     return base / f"lpips_{net_type}.npz"
 
 
-def init_lpips(net_type: str, image_size: int, seed: int = 0):
+def init_lpips(net_type: str, image_size: int, seed: int = 0,
+               dtype=jnp.float32):
     """(module, params) — converted pretrained weights if available, else
     architecture-correct random init (with a warning)."""
-    module = LPIPS(net_type=net_type)
+    module = LPIPS(net_type=net_type, dtype=dtype)
     path = lpips_weights_path(net_type)
     if path.exists():
         flat = dict(np.load(path))

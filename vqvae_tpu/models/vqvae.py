@@ -44,10 +44,12 @@ class VQVAE(nn.Module):
     quantizer_params: tuple  # tuple of (key, value) pairs — hashable config
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, dtype=jnp.float32,
-                    axis_name: Optional[str] = None) -> "VQVAE":
+                    axis_name: Optional[str] = None,
+                    remat: bool = False) -> "VQVAE":
         return cls(
             image_size=cfg.image_size,
             channels=cfg.autoencoder.channels,
@@ -59,6 +61,7 @@ class VQVAE(nn.Module):
             quantizer_params=tuple(sorted(cfg.quantizer.params.items())),
             dtype=dtype,
             axis_name=axis_name,
+            remat=remat,
         )
 
     def setup(self):
@@ -72,6 +75,7 @@ class VQVAE(nn.Module):
             channel_multipliers=self.channel_multipliers,
             embedding_dim=encoder_out,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.decoder = Decoder(
             channels=self.channels,
@@ -79,6 +83,7 @@ class VQVAE(nn.Module):
             channel_multipliers=self.channel_multipliers,
             embedding_dim=self.embedding_dim,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.quantizer = make_quantizer(
             self.quantizer_type, self.num_embeddings, self.embedding_dim,

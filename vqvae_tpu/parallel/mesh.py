@@ -57,8 +57,18 @@ def local_batch_size(cumulative_bs: int, mesh: Mesh) -> int:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch sharded along the batch dimension."""
+    """Device-put a host batch sharded along the batch dimension.
+
+    Multi-host: each process holds its local slice of the global batch;
+    ``make_array_from_process_local_data`` assembles the global array across
+    hosts (the loader contract in vqvae_tpu/data/dataset.py — per-host batch
+    = global / process_count).
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

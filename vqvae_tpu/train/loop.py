@@ -48,13 +48,17 @@ class Trainer:
     mesh: Optional[object] = None
     compute_dtype: object = jnp.float32
     lpips_params_override: Optional[object] = None
+    remat: Optional[bool] = None  # None = auto: on for image_size >= 128
 
     def __post_init__(self):
         cfg = self.cfg
         self.is_gumbel = cfg.quantizer.type == "gumbel"
         axis_name = "data" if self.mesh is not None else None
+        if self.remat is None:
+            # full-res activations dominate HBM at production sizes
+            self.remat = cfg.image_size >= 128
         self.model = VQVAE.from_config(cfg, dtype=self.compute_dtype,
-                                       axis_name=axis_name)
+                                       axis_name=axis_name, remat=self.remat)
 
         t = cfg.training
         self.lr_sched = build_lr_schedule(
@@ -76,8 +80,11 @@ class Trainer:
         lpips_apply = None
         if cfg.loss is not None:
             net_type = "vgg" if cfg.use_adversarial else "alex"
+            # train-time LPIPS runs the backbone in the compute dtype
+            # (reference runs it under AMP 16-mixed); eval uses fp32
             lpips_module, lpips_params = init_lpips(net_type, cfg.image_size,
-                                                    seed=self.seed)
+                                                    seed=self.seed,
+                                                    dtype=self.compute_dtype)
             if self.lpips_params_override is not None:
                 lpips_params = self.lpips_params_override
             self.lpips_params = lpips_params
@@ -86,7 +93,10 @@ class Trainer:
                 return _m.apply({"params": _p}, x, y)
 
             if cfg.use_adversarial:
-                self.disc = Discriminator(img_resolution=cfg.image_size)
+                # the reference's D also ran under AMP; bf16 compute + remat
+                self.disc = Discriminator(img_resolution=cfg.image_size,
+                                          dtype=self.compute_dtype,
+                                          remat=self.remat)
                 self.disc_tx = make_disc_optimizer(self.lr_sched, t.betas,
                                                    t.eps, t.weight_decay)
 
