@@ -72,9 +72,11 @@ def main():
 
     cfg = parse_config(raw)
 
+    remat_env = os.environ.get("VQGAN_BENCH_REMAT")  # "0"/"1"; unset = auto
     trainer = Trainer(cfg=cfg, learning_rate=1e-4, seed=0,
                       steps_per_epoch=1000, mesh=None,
-                      compute_dtype=jnp.bfloat16)
+                      compute_dtype=jnp.bfloat16,
+                      remat=None if remat_env is None else remat_env == "1")
     state = trainer.init_state()
 
     images = np.random.RandomState(0).randint(
