@@ -83,17 +83,22 @@ def main():
         0, 255, (batch, image_size, image_size, 3), np.uint8)
     batch_dict = {"image": images}
 
-    # warmup / compile (epoch 0 >= start_epoch 0 => full GAN step incl. R1)
+    # warmup / compile (epoch 0 >= start_epoch 0 => full GAN step incl. R1).
+    # NOTE: timing uses an explicit host fetch (float(...)) as the completion
+    # barrier — under the axon TPU tunnel, block_until_ready can return while
+    # executions are still pipelined, so only a device->host readback of a
+    # value that transitively depends on every step is a true fence.
     for _ in range(3):
         state, metrics = trainer.train_step(state, batch_dict, epoch=0)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
-    # timed: a full R1 window (16 steps) so the cadence is amortized realistically
+    # timed: a full R1 window (16 steps) so the cadence is amortized
+    # realistically; steps are chained through `state`, one final fetch
     n_steps = 16
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = trainer.train_step(state, batch_dict, epoch=0)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     ips = batch * n_steps / dt

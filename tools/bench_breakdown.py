@@ -46,15 +46,15 @@ def make_cfg(image_size, channels, with_loss, with_adv, r1):
     return parse_config(raw)
 
 
-def time_steps(trainer, state, batch_dict, n=8):
-    import jax
+def time_steps(trainer, state, batch_dict, n=16):
+    # host fetch = the only true completion fence under the axon tunnel
     for _ in range(2):
         state, metrics = trainer.train_step(state, batch_dict, epoch=0)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = trainer.train_step(state, batch_dict, epoch=0)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     return (time.perf_counter() - t0) / n
 
 
@@ -95,8 +95,7 @@ def main():
                           steps_per_epoch=1000, mesh=None,
                           compute_dtype=jnp.bfloat16, remat=remat)
         state = trainer.init_state()
-        dt = time_steps(trainer, state, batch_dict,
-                        n=16 if name == "gan_r1" else 8)
+        dt = time_steps(trainer, state, batch_dict, n=16)
         results[name] = {"ms/step": round(dt * 1e3, 1),
                          "img/s": round(batch / dt, 1)}
         print(name, results[name], flush=True)
