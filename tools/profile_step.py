@@ -64,7 +64,10 @@ def report(logdir: str, top_n: int = 40):
         return
     xplane = max(xplanes, key=os.path.getmtime)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:  # older installs
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
     data, _ = rtd.xspace_to_tool_data([xplane], "op_profile", {})
     prof = json.loads(data)
 

@@ -139,13 +139,20 @@ class ResBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """2x2 average pooling, stride 2 (reference autoencoder.py:80-91)."""
+    """2x2 average pooling, stride 2 (reference autoencoder.py:80-91).
+
+    Implemented as reshape + mean (exact for non-overlapping windows):
+    XLA's reduce-window gradient emits large standalone broadcast ops on TPU,
+    while the reshape form fuses into neighbouring elementwise work.
+    """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        return jnp.mean(x, axis=(2, 4))
 
 
 class Upsample(nn.Module):

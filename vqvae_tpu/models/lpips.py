@@ -50,6 +50,19 @@ def _normalize_activation(x, eps=1e-10):
     return x / (norm + eps)
 
 
+def _max_pool_2x2(x):
+    """Non-overlapping 2x2/stride-2 max pool as reshape + max (exact).
+
+    Avoids XLA's reduce-window path whose gradient lowers to
+    select-and-scatter — profiled as the single most expensive HLO in the
+    LPIPS backward at 256^2. The reshape form differentiates to a fused
+    compare/select chain instead.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
+
+
 class VGG16Features(nn.Module):
     """torchvision VGG16 `.features` up to relu5_3, returning the 5 LPIPS taps."""
 
@@ -69,7 +82,7 @@ class VGG16Features(nn.Module):
                 idx += 1
             taps.append(_normalize_activation(x))
             if stage < len(cfg) - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _max_pool_2x2(x)
         return taps
 
 

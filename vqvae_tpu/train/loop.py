@@ -106,6 +106,12 @@ class Trainer:
             lr_sched=self.lr_sched, temp_sched=self.temp_sched,
             kl_sched=self.kl_sched)
 
+        # host-side mirror of state.step: picks the R1-staged executable on
+        # the r1_reg_every cadence WITHOUT a device sync per step (int(
+        # state.step) would stall the dispatch pipeline). Re-synced from the
+        # restored state on resume via sync_host_step().
+        self._host_step = 0
+
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
         cfg = self.cfg
@@ -135,12 +141,22 @@ class Trainer:
         return (self.cfg.use_adversarial
                 and epoch >= self.cfg.loss.adversarial.start_epoch)
 
+    def sync_host_step(self, state) -> None:
+        """Align the host step mirror with (restored) device state."""
+        self._host_step = int(state.step)
+
     def train_step(self, state, batch, epoch: int):
         images = batch["image"]
         if self.mesh is not None:
             images = shard_batch(images, self.mesh)
-        fn = (self.steps.train_gan if self.gan_active(epoch)
-              else self.steps.train_pre)
+        if self.gan_active(epoch):
+            adv = self.cfg.loss.adversarial
+            on_r1 = (adv.r1_reg_weight is not None
+                     and self._host_step % adv.r1_reg_every == 0)
+            fn = self.steps.train_gan_r1 if on_r1 else self.steps.train_gan
+        else:
+            fn = self.steps.train_pre
+        self._host_step += 1
         return fn(state, images)
 
     def eval_step(self, state, batch, epoch: int):
@@ -193,6 +209,7 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
     if resume_path is not None:
         state, start_epoch = ckpt.restore(resume_path, state)
         start_epoch += 1
+        trainer.sync_host_step(state)
         print(f"[INFO] resumed from {resume_path} at epoch {start_epoch}")
 
     max_epochs = max_epochs or cfg.training.max_epochs

@@ -7,8 +7,10 @@ TPU re-design of the reference's eager Lightning training_step
   (loss.py:125,147) is *staged compilation*: a pre-adversarial step (no D at
   all) and an adversarial step, selected by the host loop at the epoch
   boundary — no wasted D FLOPs before start_epoch and no dynamic branches in
-  the hot path. The R1 cadence (every 16 steps, loss.py:148) stays a runtime
-  ``lax.cond`` inside the step.
+  the hot path. The R1 cadence (every 16 steps, loss.py:148) is ALSO staged
+  (train_gan vs train_gan_r1): keeping it as a lax.cond forces the
+  D-at-images linearization (full-res lrelu masks + conv residuals) to be
+  computed on every step; staging removes ~20 ms/step at 256^2/b32.
 - Data parallelism via ``shard_map`` over the ``data`` mesh axis: gradients /
   metrics are ``pmean``-reduced, EMA codebook accumulators are ``psum``-reduced
   inside the quantizer, usage histograms are ``psum``-reduced — the explicit
@@ -61,7 +63,8 @@ AXIS = "data"
 class StepBundle(NamedTuple):
     """Compiled step functions for one training run."""
     train_pre: Callable      # before the discriminator starts (or the only step)
-    train_gan: Optional[Callable]
+    train_gan: Optional[Callable]      # GAN step, no R1 (15/16 of steps)
+    train_gan_r1: Optional[Callable]   # GAN step + R1 penalty (every r1_reg_every)
     eval_step: Callable
 
 
@@ -142,7 +145,8 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # ------------------------------------------------------------------
     # train step (one function parameterized by gan_active, staged twice)
     # ------------------------------------------------------------------
-    def _train_step(state: TrainState, batch, gan_active: bool):
+    def _train_step(state: TrainState, batch, gan_active: bool,
+                    compute_r1: bool = False):
         rng = state.next_rng()
         if mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
@@ -203,25 +207,31 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
         new_vq = aux["new_vq"]  # already psum-reduced inside the quantizer
 
         # ---------------- discriminator phase ----------------
+        # R1 is STAGED compilation, not lax.cond: linearizing D at `images`
+        # (jax.vjp) materializes every lrelu mask / conv residual at full
+        # resolution even on the 15/16 steps where the penalty is never
+        # applied — profiled at ~20 ms/step of pure overhead. The host loop
+        # selects train_gan_r1 every r1_reg_every steps (loss.py:148 cadence)
+        # and train_gan otherwise.
         if adv is not None and gan_active:
             recon_sg = jax.lax.stop_gradient(aux["recon"])
+            with_r1 = compute_r1 and adv.r1_reg_weight is not None
 
             def d_loss_fn(disc_params):
-                logits_real, d_vjp = jax.vjp(
-                    lambda im: disc.apply({"params": disc_params}, im), images)
+                if with_r1:
+                    logits_real, d_vjp = jax.vjp(
+                        lambda im: disc.apply({"params": disc_params}, im),
+                        images)
+                else:
+                    logits_real = disc.apply({"params": disc_params}, images)
                 logits_fake = disc.apply({"params": disc_params}, recon_sg)
                 d_loss = discriminator_loss(logits_real, logits_fake,
                                             adv.loss_type)
-                if adv.r1_reg_weight is not None:
-                    def r1_fn(_):
-                        grad_imgs = d_vjp(jnp.ones_like(logits_real))[0]
-                        per = jnp.sum(grad_imgs.reshape(grad_imgs.shape[0], -1) ** 2,
-                                      axis=1)
-                        return adv.r1_reg_weight * jnp.mean(per)
-
-                    compute_r1 = (state.step % adv.r1_reg_every) == 0
-                    r1 = jax.lax.cond(compute_r1, r1_fn,
-                                      lambda _: jnp.zeros(()), None)
+                if with_r1:
+                    grad_imgs = d_vjp(jnp.ones_like(logits_real))[0]
+                    per = jnp.sum(
+                        grad_imgs.reshape(grad_imgs.shape[0], -1) ** 2, axis=1)
+                    r1 = adv.r1_reg_weight * jnp.mean(per)
                 else:
                     r1 = jnp.zeros(())
                 return d_loss + r1, (d_loss, r1)
@@ -311,6 +321,10 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     train_pre = _wrap(functools.partial(_train_step, gan_active=False))
     train_gan = (_wrap(functools.partial(_train_step, gan_active=True))
                  if adv is not None else None)
+    train_gan_r1 = (_wrap(functools.partial(_train_step, gan_active=True,
+                                            compute_r1=True))
+                    if adv is not None and adv.r1_reg_weight is not None
+                    else train_gan)
 
     eval_pre = _wrap(functools.partial(_eval_step, gan_active=False),
                      donate=False, n_out_sharded=1)
@@ -325,4 +339,4 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
             return eval_pre(state, batch)
 
     return StepBundle(train_pre=train_pre, train_gan=train_gan,
-                      eval_step=eval_step)
+                      train_gan_r1=train_gan_r1, eval_step=eval_step)
