@@ -207,3 +207,31 @@ def test_validation_and_reinit(image_folder):
     cb_after = np.asarray(state2.params["quantizer"]["codebook"])
     assert not np.allclose(cb_before[:16], cb_after[:16])
     np.testing.assert_array_equal(cb_before[16:], cb_after[16:])
+
+
+def test_r1_staging_cadence(image_folder):
+    """R1 is staged compilation: the host loop must pick train_gan_r1 exactly
+    on the r1_reg_every cadence, and r1_penalty must be nonzero only there."""
+    loss = {"l1_weight": 1.0, "l2_weight": 1.0, "perc_weight": 1.0,
+            "adversarial_params": {"start_epoch": 0,
+                                   "loss_type": "non-saturating",
+                                   "g_weight": 0.1, "use_adaptive": False,
+                                   "r1_reg_weight": 10.0, "r1_reg_every": 2}}
+    cfg = tiny_cfg("standard", loss=loss)
+    trainer = Trainer(cfg=cfg, learning_rate=1e-3, seed=0, steps_per_epoch=4)
+    assert trainer.steps.train_gan_r1 is not trainer.steps.train_gan
+
+    state = trainer.init_state()
+    batch = {"image": np.random.RandomState(0).randint(
+        0, 255, (8, IMG, IMG, 3), np.uint8)}
+    penalties = []
+    for _ in range(4):
+        state, metrics = trainer.train_step(state, batch, epoch=0)
+        penalties.append(float(metrics["r1_penalty"]))
+    # cadence 2: steps 0 and 2 carry the penalty, 1 and 3 don't
+    assert penalties[0] > 0.0 and penalties[2] > 0.0
+    assert penalties[1] == 0.0 and penalties[3] == 0.0
+
+    # resume re-sync: a fresh trainer restarted mid-cadence must realign
+    trainer.sync_host_step(state)
+    assert trainer._host_step == int(state.step)

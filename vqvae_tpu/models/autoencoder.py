@@ -150,9 +150,11 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        return jnp.mean(x, axis=(2, 4))
+        # four strided phases added in the compute dtype: no 6-D windowed
+        # intermediate, no f32 accumulator materialization (profiled: the
+        # reshape+mean form upcast the full windowed tensor to f32 in HBM)
+        return (x[:, ::2, ::2] + x[:, 1::2, ::2]
+                + x[:, ::2, 1::2] + x[:, 1::2, 1::2]) * 0.25
 
 
 class Upsample(nn.Module):

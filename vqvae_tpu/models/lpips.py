@@ -44,10 +44,13 @@ ALEX_CHANNELS = (64, 192, 384, 256, 256)
 SQUEEZE_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
 
 
-def _normalize_activation(x, eps=1e-10):
-    x = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return x / (norm + eps)
+def _normalize_activation(x, eps=1e-10, out_dtype=jnp.float32):
+    """Channel-unit-normalize (reference utils.py:6-8). Statistics in fp32;
+    the (large, saved-for-backward) result is stored in ``out_dtype`` — bf16
+    under the training compute policy halves the HBM traffic of the taps."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    return (xf / (norm + eps)).astype(out_dtype)
 
 
 def _max_pool_2x2(x):
@@ -80,7 +83,7 @@ class VGG16Features(nn.Module):
                             name=f"conv{idx}")(x)
                 x = nn.relu(x)
                 idx += 1
-            taps.append(_normalize_activation(x))
+            taps.append(_normalize_activation(x, out_dtype=self.dtype))
             if stage < len(cfg) - 1:
                 x = _max_pool_2x2(x)
         return taps
@@ -98,21 +101,21 @@ class AlexNetFeatures(nn.Module):
         x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2, dtype=self.dtype,
                     name="conv0")(x)
         x = nn.relu(x)
-        taps.append(_normalize_activation(x))
+        taps.append(_normalize_activation(x, out_dtype=self.dtype))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = nn.Conv(192, (5, 5), padding=2, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
-        taps.append(_normalize_activation(x))
+        taps.append(_normalize_activation(x, out_dtype=self.dtype))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = nn.Conv(384, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
-        taps.append(_normalize_activation(x))
+        taps.append(_normalize_activation(x, out_dtype=self.dtype))
         x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv3")(x)
         x = nn.relu(x)
-        taps.append(_normalize_activation(x))
+        taps.append(_normalize_activation(x, out_dtype=self.dtype))
         x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv4")(x)
         x = nn.relu(x)
-        taps.append(_normalize_activation(x))
+        taps.append(_normalize_activation(x, out_dtype=self.dtype))
         return taps
 
 
@@ -174,8 +177,9 @@ class LPIPS(nn.Module):
 
     ``dtype`` sets the backbone conv compute dtype (bf16 for training-loss
     use, mirroring the reference's AMP 16-mixed LPIPS; fp32 default for
-    eval-grade numbers). Tap normalization and the distance accumulation are
-    always fp32.
+    eval-grade numbers). Normalization statistics and the final distance
+    accumulation are always fp32; the normalized taps themselves are stored
+    in ``dtype`` (they are the largest saved-for-backward tensors).
     """
 
     net_type: str = "vgg"
@@ -207,7 +211,9 @@ class LPIPS(nn.Module):
         for i, (fx, fy, ch) in enumerate(zip(feat_x, feat_y, channels)):
             lin = self.param(f"lin{i}", nn.initializers.ones, (ch, 1), jnp.float32)
             diff = (fx - fy) ** 2
-            weighted = jnp.einsum("bhwc,co->bhwo", diff, lin)
+            weighted = jnp.einsum("bhwc,co->bhwo", diff,
+                                  lin.astype(diff.dtype),
+                                  preferred_element_type=jnp.float32)
             total = total + jnp.mean(weighted, axis=(1, 2, 3))
         return jnp.mean(total)
 
