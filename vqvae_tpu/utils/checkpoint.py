@@ -71,6 +71,29 @@ def restore_for_eval(path: str, template_state: TrainState) -> TrainState:
     return state
 
 
+def save_eval_checkpoint(path: str, variables: dict, step: int = 0,
+                         epoch: int = 0) -> None:
+    """Write a weights-only snapshot readable by ``restore_for_eval`` —
+    used by tools/import_torch_checkpoint.py to bring reference (PyTorch)
+    checkpoints into this framework's eval pipeline.
+
+    ``variables`` is a flax variables dict: {'params': ..., 'vq_state': ...?}.
+    """
+    import numpy as np
+    p = Path(path)
+    if p.exists():
+        shutil.rmtree(p)
+    payload = {
+        "state": {
+            "params": variables["params"],
+            "vq_state": variables.get("vq_state"),
+            "step": np.asarray(step, np.int32),
+        },
+        "epoch": epoch,
+    }
+    ocp.PyTreeCheckpointer().save(str(p), payload)
+
+
 def latest_checkpoint(save_dir: str, run_name: str) -> Optional[str]:
     last = Path(save_dir) / run_name / "last"
     return str(last) if last.exists() else None
