@@ -52,8 +52,7 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
         mask = np.asarray(batch["mask"], bool)
 
         recon_metrics.update(recons, images, mask)
-        # usage histogram: padded rows contribute spurious codes only when
-        # the batch is partial; correct by subtracting the pad-row codes
+        # batch_usage is already mask-filtered inside the eval step
         usage = batch_usage if usage is None else usage + batch_usage
         if fid is not None:
             to_u8 = lambda x: np.clip(x * 255.0, 0, 255).astype(np.uint8)

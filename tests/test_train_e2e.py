@@ -235,3 +235,28 @@ def test_r1_staging_cadence(image_folder):
     # resume re-sync: a fresh trainer restarted mid-cadence must realign
     trainer.sync_host_step(state)
     assert trainer._host_step == int(state.step)
+
+
+def test_eval_usage_ignores_padded_rows():
+    """The padded final eval batch (mask=False rows) must not pollute the
+    codebook-usage histogram (evaluate.py test suite correctness)."""
+    cfg = tiny_cfg("standard")
+    trainer = Trainer(cfg=cfg, learning_rate=1e-3, seed=0, steps_per_epoch=2)
+    state = trainer.init_state()
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 255, (8, IMG, IMG, 3), np.uint8)
+
+    full = {"image": imgs, "mask": np.ones((8,), bool)}
+    half_mask = np.r_[np.ones(4), np.zeros(4)].astype(bool)
+    padded = {"image": np.concatenate([imgs[:4], np.zeros_like(imgs[:4])]),
+              "mask": half_mask}
+    unpadded = {"image": imgs[:4], "mask": np.ones((4,), bool)}
+
+    _, u_full, _ = trainer.eval_step(state, full, 0)
+    _, u_padded, _ = trainer.eval_step(state, padded, 0)
+    # same totals as evaluating only the 4 real rows (different batch shape
+    # compiles a second executable; values must match exactly)
+    _, u_unpadded, _ = trainer.eval_step(state, unpadded, 0)
+    assert int(np.asarray(u_padded).sum()) == 4 * (IMG // 4) ** 2
+    np.testing.assert_array_equal(np.asarray(u_padded), np.asarray(u_unpadded))
+    assert int(np.asarray(u_full).sum()) == 8 * (IMG // 4) ** 2

@@ -84,11 +84,20 @@ def reinit_unused_codes(codebook: jnp.ndarray, usage_probs: jnp.ndarray,
     return jnp.where(unused[:, None], codebook[replacements], codebook)
 
 
-def count_code_usage(codes: jnp.ndarray, num_embeddings: int) -> jnp.ndarray:
+def count_code_usage(codes: jnp.ndarray, num_embeddings: int,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-code usage histogram of int codes, XLA-friendly one-hot sum
     (replaces the reference's torch.bincount determinism hack, model.py:289-293).
+
+    ``mask``: optional (B,) bool — rows with mask=False (zero-padded final
+    eval batches, data/dataset.py Loader) are excluded from the histogram.
     """
     onehot = jax.nn.one_hot(codes.reshape(-1), num_embeddings, dtype=jnp.int32)
+    if mask is not None:
+        b = codes.shape[0]
+        w = jnp.broadcast_to(mask.astype(jnp.int32)[:, None],
+                             (b, codes.size // b)).reshape(-1)
+        onehot = onehot * w[:, None]
     return jnp.sum(onehot, axis=0)
 
 

@@ -160,10 +160,15 @@ class Trainer:
         return fn(state, images)
 
     def eval_step(self, state, batch, epoch: int):
+        import numpy as np
         images = batch["image"]
+        mask = batch.get("mask")
+        if mask is None:
+            mask = np.ones((images.shape[0],), bool)
+        payload = (images, mask)
         if self.mesh is not None:
-            images = shard_batch(images, self.mesh)
-        return self.steps.eval_step(state, images,
+            payload = shard_batch(payload, self.mesh)
+        return self.steps.eval_step(state, payload,
                                     gan_active=self.gan_active(epoch))
 
     # ------------------------------------------------------------------

@@ -278,7 +278,8 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # eval step (validation/test: no augs, no optimizer, no EMA mutation)
     # ------------------------------------------------------------------
     def _eval_step(state: TrainState, batch, gan_active: bool):
-        images = preprocess_batch(batch)
+        images, mask = batch
+        images = preprocess_batch(images)
         rng_model = jax.random.fold_in(state.rng, state.step)
         if mesh is not None:
             rng_model = jax.random.fold_in(rng_model, jax.lax.axis_index(AXIS))
@@ -297,7 +298,9 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
             d_loss = jnp.zeros(())
             loss = nll + q_loss if l_conf is not None else q_loss + l2
 
-        usage = _psum(count_code_usage(codes, n_codes))
+        # padded rows (mask=False) excluded: they would otherwise pollute the
+        # usage histogram / perplexity on the partial final eval batch
+        usage = _psum(count_code_usage(codes, n_codes, mask=mask))
         metrics = _pmean({
             "loss": loss, "l1_loss": l1, "l2_loss": l2, "quant_loss": q_loss,
             "perc_loss": p, "gen_loss": g_loss, "disc_loss": d_loss,
