@@ -22,11 +22,16 @@ def parse_args():
                         help='path to a dataset folder with a test/ subfolder '
                              'or test.pack file')
     parser.add_argument('--batch_size', type=int, required=True,
-                        help='evaluation batch size')
+                        help='evaluation batch size (global, split across '
+                             'devices when more than one is visible)')
     parser.add_argument('--seed', type=int, required=True)
     parser.add_argument('--loading_path', type=str, required=True,
                         help='path to checkpoint to load')
     parser.add_argument('--workers', type=int, default=1)
+    parser.add_argument('--single_device', action='store_true',
+                        help='force single-device eval even on a multi-chip '
+                             'host (the reference evaluates on one GPU, '
+                             'evaluate.py:56; default here is the data mesh)')
     return parser.parse_args()
 
 
@@ -74,19 +79,31 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
 def main():
     args = parse_args()
 
+    from vqvae_tpu.parallel.mesh import distributed_init_if_needed
+    distributed_init_if_needed()
+
     import jax
     import jax.numpy as jnp
 
     from vqvae_tpu.config import load_config
     from vqvae_tpu.data.dataset import get_loaders
+    from vqvae_tpu.parallel.mesh import create_mesh
     from vqvae_tpu.train.loop import Trainer
     from vqvae_tpu.utils.checkpoint import restore_for_eval
 
     cfg = load_config(args.params_file)
     seed = int(args.seed)
 
+    n_devices = len(jax.devices())
+    mesh = (create_mesh() if n_devices > 1 and not args.single_device
+            else None)
+    if mesh is not None and int(args.batch_size) % n_devices != 0:
+        raise RuntimeError(f"batch_size={args.batch_size} must be divisible "
+                           f"by {n_devices} devices (or pass --single_device)")
+
+    batch_per_host = int(args.batch_size) // jax.process_count()
     test_loader = get_loaders(args.dataloader, args.dataset_path,
-                              cfg.image_size, int(args.batch_size),
+                              cfg.image_size, batch_per_host,
                               int(args.workers), seed, mode='test')
 
     # inference: no loss stack needed (reference evaluate.py:48-49 loads with
@@ -95,12 +112,15 @@ def main():
     eval_cfg = dataclasses.replace(cfg, loss=None)
 
     trainer = Trainer(cfg=eval_cfg, learning_rate=cfg.training.base_lr,
-                      seed=seed, steps_per_epoch=1, mesh=None,
+                      seed=seed, steps_per_epoch=1, mesh=mesh,
                       compute_dtype=jnp.float32)
     state = trainer.init_state()
     state = restore_for_eval(args.loading_path, state)
+    if mesh is not None:
+        from vqvae_tpu.parallel.mesh import replicate
+        state = replicate(state, mesh)
 
-    print(f"[INFO] batch size: {args.batch_size}")
+    print(f"[INFO] devices: {n_devices}, batch size: {args.batch_size}")
     evaluate_checkpoint(eval_cfg, state, trainer, test_loader)
 
 

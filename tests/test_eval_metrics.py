@@ -147,3 +147,53 @@ def _ssim_numpy(x, y, data_range=1.0, ksize=11, sigma=1.5, k1=0.01, k2=0.03):
 
 _mod.ssim_numpy = _ssim_numpy
 sys.modules["scipy_free_ssim"] = _mod
+
+
+def test_evaluate_checkpoint_mesh_matches_single(tmp_path):
+    """The full evaluate_checkpoint suite must produce identical results on
+    the 8-device mesh and on a single device (mask-filtered partial batch
+    included) — the multi-device path of the evaluate.py CLI."""
+    import dataclasses
+    from PIL import Image
+    from evaluate import evaluate_checkpoint
+    from vqvae_tpu.config import parse_config
+    from vqvae_tpu.data.dataset import ImageFolderDataset, Loader
+    from vqvae_tpu.parallel.mesh import create_mesh, replicate
+    from vqvae_tpu.train.loop import Trainer
+
+    img = 16
+    d = tmp_path / "test"
+    d.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(20):  # 20 % 16 != 0 -> padded final batch on the mesh
+        Image.fromarray(rs.randint(0, 255, (img, img, 3), np.uint8)).save(
+            d / f"i{i:02d}.png")
+
+    cfg = parse_config({
+        "image_size": img,
+        "autoencoder": {"channels": 32, "num_res_blocks": 1,
+                        "channel_multipliers": [1, 2]},
+        "quantizer": {"num_embeddings": 32, "embedding_dim": 8,
+                      "type": "standard", "reinit_every_n_epochs": None,
+                      "params": {"commitment_cost": 0.25}},
+        "training": {"cumulative_bs": 16, "base_lr": 1e-4,
+                     "betas": [0.0, 0.99], "eps": 1e-8, "weight_decay": 1e-4,
+                     "decay_epochs": 2, "max_epochs": 2},
+    })
+
+    def run(mesh):
+        trainer = Trainer(cfg=cfg, learning_rate=1e-4, seed=0,
+                          steps_per_epoch=1, mesh=mesh)
+        state = trainer.init_state()
+        if mesh is not None:
+            state = replicate(state, mesh)
+        loader = Loader(ImageFolderDataset(str(d), img), batch_size=16,
+                        shuffle=False, drop_last=False)
+        return evaluate_checkpoint(cfg, state, trainer, loader, verbose=False)
+
+    r_single = run(None)
+    r_mesh = run(create_mesh())
+    assert set(r_single) == set(r_mesh)
+    for k in r_single:
+        np.testing.assert_allclose(r_single[k], r_mesh[k], rtol=2e-4,
+                                   atol=1e-5, err_msg=k)

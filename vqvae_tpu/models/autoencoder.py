@@ -150,11 +150,13 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # four strided phases added in the compute dtype: no 6-D windowed
-        # intermediate, no f32 accumulator materialization (profiled: the
-        # reshape+mean form upcast the full windowed tensor to f32 in HBM)
-        return (x[:, ::2, ::2] + x[:, 1::2, ::2]
-                + x[:, ::2, 1::2] + x[:, 1::2, 1::2]) * 0.25
+        # reshape + same-dtype sum: forward avoids jnp.mean's f32 upcast of
+        # the windowed tensor; backward is a single broadcast (the strided
+        # four-slice form profiled 4x worse — its backward pad-scatters the
+        # full tensor once per phase)
+        b, h, w, c = x.shape
+        xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        return jnp.sum(xw, axis=(2, 4), dtype=x.dtype) * 0.25
 
 
 class Upsample(nn.Module):
