@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -159,11 +160,49 @@ class Downsample(nn.Module):
         return jnp.sum(xw, axis=(2, 4), dtype=x.dtype) * 0.25
 
 
+class _UpConvLeaf(nn.Module):
+    """Parameter-only holder matching nn.Conv's param layout (kernel, bias) so
+    Upsample's folded conv keeps the conv/Conv_0/{kernel,bias} checkpoint
+    paths of the unfolded form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param("kernel", conv_kernel_init,
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", conv_bias_init_for(in_ch * 9),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _UpConvParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return _UpConvLeaf(self.features, name="Conv_0")(in_ch)
+
+
+# Folding a 3x3 'SAME' correlation over a nearest-x2 upsample into one
+# base-dilated conv: even outputs read taps {0,2} of the dilated input, odd
+# outputs taps {1,3}, so the 4-tap kernel per axis is K4 = T @ w3 with:
+_UPSAMPLE_FOLD_T = np.array([[1, 0, 0],
+                             [1, 1, 0],
+                             [0, 1, 1],
+                             [0, 0, 1]], np.float32)
+
+
 class Upsample(nn.Module):
     """Nearest-exact 2x upsample + 3x3 conv (reference autoencoder.py:94-106).
 
-    For integer scale factors, torch 'nearest-exact' equals pixel replication,
-    implemented here as a reshape-broadcast (cheap, layout-friendly on TPU).
+    For integer scale factors, torch 'nearest-exact' equals pixel replication.
+    Instead of materializing the 2x-replicated tensor (4x the HBM traffic of
+    the decoder's largest activation) and convolving it, the replication is
+    folded into the conv: one lhs_dilation=2 convolution with the 3x3 kernel
+    expanded to 4x4 by the exact tap-merge transform above — identical math,
+    identical parameters/checkpoint layout, and XLA lowers the base-dilated
+    conv to phased MXU work without writing the zeros.
     """
 
     channels: int
@@ -171,10 +210,19 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-        x = x.reshape(b, h * 2, w * 2, c)
-        return Conv(self.channels, 3, use_bias=True, dtype=self.dtype, name="conv")(x)
+        in_ch = x.shape[-1]
+        w, b = _UpConvParams(self.channels, name="conv")(in_ch)
+
+        t = jnp.asarray(_UPSAMPLE_FOLD_T, jnp.float32)
+        k4 = jnp.einsum("ad,be,dexy->abxy", t, t, w.astype(jnp.float32))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(self.dtype)
 
 
 class Encoder(nn.Module):
