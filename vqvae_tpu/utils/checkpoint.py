@@ -58,9 +58,24 @@ def restore_for_eval(path: str, template_state: TrainState) -> TrainState:
     """Load only model weights (params / vq_state / step) from any snapshot,
     ignoring optimizer and discriminator state — the eval-time equivalent of
     the reference's ``load_from_checkpoint(strict=False, load_loss=False)``
-    (evaluate.py:48-49)."""
+    (evaluate.py:48-49).
+
+    Arrays are restored as host numpy (no sharding metadata needed, so a
+    snapshot written under any device topology loads in any process) and
+    re-placed by jnp.asarray below.
+    """
     import jax.numpy as jnp
-    raw = ocp.PyTreeCheckpointer().restore(str(Path(path)))
+    import numpy as np
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(str(Path(path)))
+    # orbax metadata layout varies by version: StepMetadata(item_metadata=
+    # TreeMetadata(tree=...)) on current, bare tree on older
+    for attr in ("item_metadata", "tree"):
+        if hasattr(meta, attr):
+            meta = getattr(meta, attr)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    raw = ckptr.restore(str(Path(path)), restore_args=restore_args)
     saved = raw["state"]
     state = template_state.replace(
         params=jax.tree.map(jnp.asarray, saved["params"]),
