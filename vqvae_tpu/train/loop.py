@@ -219,14 +219,21 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
 
     max_epochs = max_epochs or cfg.training.max_epochs
     use_adv = cfg.use_adversarial
+    accum = cfg.training.grad_accum_steps if cfg.training is not None else 1
+    n_dev = mesh.devices.size if mesh is not None else 1
+    per_dev = train_loader.batch_size // max(n_dev, 1)
+    if per_dev % max(accum, 1) != 0:
+        raise RuntimeError(
+            f"per-device batch {per_dev} must be divisible by "
+            f"grad_accum_steps={accum}")
     if use_adv:
-        # mbstd(group=4) constraint (reference train.py:139-140)
-        n_dev = mesh.devices.size if mesh is not None else 1
-        per_dev = train_loader.batch_size // max(n_dev, 1)
-        if per_dev % 4 != 0:
+        # mbstd(group=4) constraint (reference train.py:139-140), applied to
+        # the per-device micro-batch the discriminator actually sees
+        if (per_dev // max(accum, 1)) % 4 != 0:
             raise RuntimeError(
-                "batch size per device must be divisible by 4! "
-                "(minibatch-std group size in the StyleGAN discriminator)")
+                "batch size per device (per accumulation micro-batch) must "
+                "be divisible by 4! (minibatch-std group size in the "
+                "StyleGAN discriminator)")
 
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)

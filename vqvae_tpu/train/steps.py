@@ -19,6 +19,13 @@ TPU re-design of the reference's eager Lightning training_step
 - Both GAN phases (AE update, then D update on the same reconstructions)
   execute in the same compiled step, mirroring the reference's manual
   two-optimizer loop (model.py:244-264).
+- ``training.grad_accum_steps > 1`` accumulates AE and D gradients over a
+  ``lax.scan`` of micro-batches before the two optimizer updates: identical
+  global-batch semantics (equal micros, mean-of-means), ~N x less activation
+  memory — the published cumulative_bs=256 recipe runs on a single chip.
+  The D still sees pre-update reconstructions, exactly like the reference's
+  ordering. (EMA codebook state advances once per micro-batch — documented
+  divergence; the reference never accumulates.)
 - R1 reuses the real-logits forward via ``jax.vjp`` (one D forward gives the
   loss logits and the input-gradient); its parameter gradient is a 2nd-order
   derivative that JAX composes natively — no `no_weight_gradients` hack.
@@ -142,40 +149,43 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
             return tree
         return jax.lax.psum(tree, AXIS)
 
-    # ------------------------------------------------------------------
-    # train step (one function parameterized by gan_active, staged twice)
-    # ------------------------------------------------------------------
-    def _train_step(state: TrainState, batch, gan_active: bool,
-                    compute_r1: bool = False):
-        rng = state.next_rng()
-        if mesh is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
-        rng_aug, rng_model = jax.random.split(rng)
+    accum = (cfg.training.grad_accum_steps
+             if cfg.training is not None else 1)
 
-        images = preprocess_batch(batch, rng_aug, training=True,
+    # ------------------------------------------------------------------
+    # per-micro-batch gradients (one full AE + D gradient computation);
+    # _train_step applies it directly (accum == 1) or accumulates it over a
+    # lax.scan of micro-batches (grad_accum_steps > 1) before the single
+    # optimizer update — same global-batch semantics, ~accum x less
+    # activation memory
+    # ------------------------------------------------------------------
+    def _micro_grads(params, disc_params, vq_state, step, raw_images, rng,
+                     gan_active: bool, compute_r1: bool):
+        rng_aug, rng_model = jax.random.split(rng)
+        images = preprocess_batch(raw_images, rng_aug, training=True,
                                   image_size=cfg.image_size)
 
-        def ae_loss_fn(params, vq_state):
+        def ae_loss_fn(p, vq):
             recon, q_loss, codes, new_vq = forward(
-                params, vq_state, images, rng_model, state.step, train=True)
-            l1, l2, p, nll = recon_losses(images, recon)
+                p, vq, images, rng_model, step, train=True)
+            l1, l2, perc, nll = recon_losses(images, recon)
 
             if adv is not None and gan_active:
-                logits_fake = disc.apply({"params": state.disc_params}, recon)
+                logits_fake = disc.apply({"params": disc_params}, recon)
                 g_loss = generator_loss(logits_fake, adv.loss_type)
                 if adv.use_adaptive:
                     # lambda = |grad_W nll_perc| / (|grad_W g| + 1e-8), W = last
                     # decoder kernel (reference loss.py:80-96; grads w.r.t.
                     # p_loss per model.py:249-251 callsite).
-                    w0 = params["decoder"]["conv_out"]["Conv_0"]["kernel"]
+                    w0 = p["decoder"]["conv_out"]["Conv_0"]["kernel"]
 
                     def pg_of_w(w):
-                        params2 = _replace_last_kernel(params, w)
-                        recon2, _, _, _ = forward(params2, vq_state, images,
-                                                  rng_model, state.step, True)
+                        params2 = _replace_last_kernel(p, w)
+                        recon2, _, _, _ = forward(params2, vq, images,
+                                                  rng_model, step, True)
                         p2 = lpips_apply(images, recon2)
                         g2 = generator_loss(
-                            disc.apply({"params": state.disc_params}, recon2),
+                            disc.apply({"params": disc_params}, recon2),
                             adv.loss_type)
                         return p2, g2
 
@@ -195,36 +205,29 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                 loss = nll + q_loss if l_conf is not None else q_loss + l2
 
             aux = dict(recon=recon, codes=codes, new_vq=new_vq, q_loss=q_loss,
-                       l1=l1, l2=l2, p=p, g_loss=g_loss, g_weight=g_weight)
+                       l1=l1, l2=l2, p=perc, g_loss=g_loss, g_weight=g_weight)
             return loss, aux
 
         (ae_loss, aux), grads = jax.value_and_grad(ae_loss_fn, has_aux=True)(
-            state.params, state.vq_state)
-        grads = _pmean(grads)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+            params, vq_state)
 
-        new_vq = aux["new_vq"]  # already psum-reduced inside the quantizer
-
-        # ---------------- discriminator phase ----------------
+        # -------- discriminator gradients (no update here) --------
         # R1 is STAGED compilation, not lax.cond: linearizing D at `images`
         # (jax.vjp) materializes every lrelu mask / conv residual at full
         # resolution even on the 15/16 steps where the penalty is never
-        # applied — profiled at ~20 ms/step of pure overhead. The host loop
-        # selects train_gan_r1 every r1_reg_every steps (loss.py:148 cadence)
-        # and train_gan otherwise.
+        # applied. The host loop selects train_gan_r1 every r1_reg_every
+        # steps (loss.py:148 cadence) and train_gan otherwise.
         if adv is not None and gan_active:
             recon_sg = jax.lax.stop_gradient(aux["recon"])
             with_r1 = compute_r1 and adv.r1_reg_weight is not None
 
-            def d_loss_fn(disc_params):
+            def d_loss_fn(dp):
                 if with_r1:
                     logits_real, d_vjp = jax.vjp(
-                        lambda im: disc.apply({"params": disc_params}, im),
-                        images)
+                        lambda im: disc.apply({"params": dp}, im), images)
                 else:
-                    logits_real = disc.apply({"params": disc_params}, images)
-                logits_fake = disc.apply({"params": disc_params}, recon_sg)
+                    logits_real = disc.apply({"params": dp}, images)
+                logits_fake = disc.apply({"params": dp}, recon_sg)
                 d_loss = discriminator_loss(logits_real, logits_fake,
                                             adv.loss_type)
                 if with_r1:
@@ -237,25 +240,80 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                 return d_loss + r1, (d_loss, r1)
 
             (_, (d_loss, r1)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.disc_params)
-            d_grads = _pmean(d_grads)
-            d_updates, new_disc_opt = disc_tx.update(
-                d_grads, state.disc_opt_state, state.disc_params)
-            new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+                d_loss_fn, has_aux=True)(disc_params)
         else:
             d_loss = jnp.zeros(())
             r1 = jnp.zeros(())
-            new_disc_params = state.disc_params
-            new_disc_opt = state.disc_opt_state
+            d_grads = None
 
-        usage = _psum(count_code_usage(aux["codes"], n_codes))
-
+        usage = count_code_usage(aux["codes"], n_codes)
         metrics = {
             "loss": ae_loss, "l1_loss": aux["l1"], "l2_loss": aux["l2"],
             "quant_loss": aux["q_loss"], "perc_loss": aux["p"],
             "gen_loss": aux["g_loss"], "disc_loss": d_loss,
             "r1_penalty": r1, "g_weight": aux["g_weight"],
         }
+        return grads, d_grads, aux["new_vq"], usage, metrics
+
+    # ------------------------------------------------------------------
+    # train step (one function parameterized by gan_active, staged twice)
+    # ------------------------------------------------------------------
+    def _train_step(state: TrainState, batch, gan_active: bool,
+                    compute_r1: bool = False):
+        rng = state.next_rng()
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+        has_d = adv is not None and gan_active
+
+        if accum == 1:
+            grads, d_grads, new_vq, usage, metrics = _micro_grads(
+                state.params, state.disc_params, state.vq_state, state.step,
+                batch, rng, gan_active, compute_r1)
+        else:
+            b = batch.shape[0]
+            micro = batch.reshape(accum, b // accum, *batch.shape[1:])
+
+            def body(carry, xs):
+                vq_state, g_acc, d_acc, u_acc, m_acc = carry
+                mb, idx = xs
+                g, dg, new_vq, u, m = _micro_grads(
+                    state.params, state.disc_params, vq_state, state.step,
+                    mb, jax.random.fold_in(rng, idx), gan_active, compute_r1)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                if dg is not None:
+                    d_acc = jax.tree.map(jnp.add, d_acc, dg)
+                m_acc = jax.tree.map(jnp.add, m_acc, m)
+                return (new_vq, g_acc, d_acc, u_acc + u, m_acc), None
+
+            zeros_like = lambda t: jax.tree.map(jnp.zeros_like, t)
+            m0 = {k: jnp.zeros(()) for k in
+                  ("loss", "l1_loss", "l2_loss", "quant_loss", "perc_loss",
+                   "gen_loss", "disc_loss", "r1_penalty", "g_weight")}
+            init = (state.vq_state, zeros_like(state.params),
+                    zeros_like(state.disc_params) if has_d else 0,
+                    jnp.zeros((n_codes,), jnp.int32), m0)
+            (new_vq, g_acc, d_acc, usage, m_acc), _ = jax.lax.scan(
+                body, init, (micro, jnp.arange(accum)))
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda x: x * inv, g_acc)
+            d_grads = (jax.tree.map(lambda x: x * inv, d_acc)
+                       if has_d else None)
+            metrics = jax.tree.map(lambda x: x * inv, m_acc)
+
+        grads = _pmean(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        if has_d:
+            d_grads = _pmean(d_grads)
+            d_updates, new_disc_opt = disc_tx.update(
+                d_grads, state.disc_opt_state, state.disc_params)
+            new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        else:
+            new_disc_params = state.disc_params
+            new_disc_opt = state.disc_opt_state
+
+        usage = _psum(usage)
         metrics = _pmean(metrics)
         if lr_sched is not None:
             metrics["lr"] = lr_sched(state.step)
