@@ -25,6 +25,7 @@ requires_grad=False, networks.py:33-35).
 
 from __future__ import annotations
 
+import functools
 import os
 import warnings
 from pathlib import Path
@@ -47,10 +48,51 @@ SQUEEZE_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
 def _normalize_activation(x, eps=1e-10, out_dtype=jnp.float32):
     """Channel-unit-normalize (reference utils.py:6-8). Statistics in fp32;
     the (large, saved-for-backward) result is stored in ``out_dtype`` — bf16
-    under the training compute policy halves the HBM traffic of the taps."""
-    xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
-    return (xf / (norm + eps)).astype(out_dtype)
+    under the training compute policy halves the HBM traffic of the taps.
+
+    Hand-written VJP (vs autodiff of x/(sqrt(sum x^2)+eps)):
+    - keeps every full-resolution tensor in the compute dtype through the
+      reverse pass — the autodiff transpose of the fp32-division form
+      materialized ~6 fp32 copies of the largest tap and dragged the VGG
+      conv1 transpose fusion to 280 GB/s (profiled 5.2 ms/step at 256^2 b32);
+    - is finite at all-zero pixels: autodiff pulls d sqrt(0) = inf into an
+      inf*0=NaN for pixels where every channel is exactly 0 (post-ReLU this
+      happens with random-init fallback weights; the torch reference has the
+      same latent NaN). Here the zero cotangent-projection cancels first.
+
+        y = x * g,  g = 1/(sqrt(ss)+eps),  ss = sum_c x^2
+        dx = g*ct - x * (sum_c ct*x) * g^2 / max(sqrt(ss), tiny)
+    """
+    return _normalize_core(x, float(eps), jnp.dtype(out_dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _normalize_core(x, eps, out_dtype):
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    inv = 1.0 / (jnp.sqrt(ss) + eps)
+    return (x * inv.astype(x.dtype)).astype(out_dtype)
+
+
+def _normalize_core_fwd(x, eps, out_dtype):
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    rt = jnp.sqrt(ss)
+    inv = 1.0 / (rt + eps)
+    y = (x * inv.astype(x.dtype)).astype(out_dtype)
+    return y, (x, rt, inv)
+
+
+def _normalize_core_bwd(eps, out_dtype, res, ct):
+    x, rt, inv = res
+    ctc = ct.astype(x.dtype)
+    # channel reduce in fp32 (in-register upcast inside the fused reduce)
+    t = jnp.sum(ctc.astype(jnp.float32) * x.astype(jnp.float32),
+                axis=-1, keepdims=True)
+    scale = t * inv * inv / jnp.maximum(rt, 1e-20)
+    dx = ctc * inv.astype(x.dtype) - x * scale.astype(x.dtype)
+    return (dx,)
+
+
+_normalize_core.defvjp(_normalize_core_fwd, _normalize_core_bwd)
 
 
 def _max_pool_2x2(x):

