@@ -75,6 +75,38 @@ from vqvae_tpu.train.state import TrainState
 AXIS = "data"
 
 
+def make_paired_logits(apply_fn: Callable):
+    """Two logits views over ONE discriminator forward, with disjoint
+    gradient routing.
+
+    ``paired(dp, x) -> (logits_for_g, logits_for_d)`` where both outputs
+    equal ``apply_fn(dp, x)`` in the primal, but the VJP sends the first
+    output's cotangent to ``x`` only (generator loss: trains the
+    reconstruction, never D — reference model.py:247 detaches nothing but
+    only steps ae_opt) and the second output's cotangent to ``dp`` only
+    (discriminator loss on detached reconstructions, loss.py:153). The two
+    pullbacks share the single forward's residuals; XLA DCEs the unused half
+    of each backward."""
+
+    @jax.custom_vjp
+    def paired(dp, x):
+        logits = apply_fn(dp, x)
+        return logits, logits
+
+    def _fwd(dp, x):
+        logits, vjp = jax.vjp(apply_fn, dp, x)
+        return (logits, logits), vjp
+
+    def _bwd(vjp, cts):
+        ct_g, ct_d = cts
+        _, dx = vjp(ct_g)    # generator side: image gradient only
+        ddp, _ = vjp(ct_d)   # discriminator side: param gradient only
+        return ddp, dx
+
+    paired.defvjp(_fwd, _bwd)
+    return paired
+
+
 class StepBundle(NamedTuple):
     """Compiled step functions for one training run."""
     train_pre: Callable      # before the discriminator starts (or the only step)
@@ -169,25 +201,8 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # pullback, the input grad of the discriminator pullback).
     # ------------------------------------------------------------------
     if disc is not None:
-        def _disc_fwd(dp, x):
-            return disc.apply({"params": dp}, x)
-
-        @jax.custom_vjp
-        def paired_fake_logits(dp, x):
-            logits = _disc_fwd(dp, x)
-            return logits, logits
-
-        def _paired_fwd(dp, x):
-            logits, vjp = jax.vjp(_disc_fwd, dp, x)
-            return (logits, logits), vjp
-
-        def _paired_bwd(vjp, cts):
-            ct_g, ct_d = cts
-            _, dx = vjp(ct_g)    # generator side: image gradient only
-            ddp, _ = vjp(ct_d)   # discriminator side: param gradient only
-            return ddp, dx
-
-        paired_fake_logits.defvjp(_paired_fwd, _paired_bwd)
+        paired_fake_logits = make_paired_logits(
+            lambda dp, x: disc.apply({"params": dp}, x))
 
     # ------------------------------------------------------------------
     # per-micro-batch gradients (one full AE + D gradient computation);
