@@ -87,9 +87,17 @@ def main():
 
     from vqvae_tpu.config import load_config
     from vqvae_tpu.data.dataset import get_loaders
+    from vqvae_tpu.ops.misc_ops import set_matmul_precision
     from vqvae_tpu.parallel.mesh import create_mesh
     from vqvae_tpu.train.loop import Trainer
     from vqvae_tpu.utils.checkpoint import restore_for_eval
+
+    # eval-grade numerics: on TPU the DEFAULT matmul precision runs fp32
+    # convolutions as a single bf16 MXU pass; published metrics are fp32.
+    # (The reference's analogous knob is set_matmul_precision's TF32 switch
+    # on A100, common_utils.py:16-27 — train keeps the bf16 policy, eval
+    # pins full precision.)
+    set_matmul_precision("highest")
 
     cfg = load_config(args.params_file)
     seed = int(args.seed)

@@ -1,0 +1,137 @@
+"""Hardware acceptance checks: run the numeric-critical kernels on the real
+TPU chip and compare against their oracles / reference formulas.
+
+The CPU test suite (tests/, 8 virtual devices, interpret-mode Pallas) cannot
+observe TPU-only behavior — MXU accumulation precision, Mosaic lowering,
+layout-dependent fusions. This script is the complement: small, fast probes
+on the actual chip. Run after kernel/ops changes:
+
+    python tools/validate_tpu.py
+
+Checks:
+  1. Pallas VQ nearest-neighbor == fp32-pinned XLA oracle (exact).
+  2. Folded nearest-x2 upsample conv == materialize-then-conv reference.
+  3. upfirdn2d adjoint: <f(x), y> == <x, f^T(y)> (VJP is the true transpose).
+  4. GroupNorm (unbiased, fp32 stats) == numpy reference formula.
+  5. bias_act activation table == jnp reference formulas.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, ok, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"[{status}] {name}{(' — ' + detail) if detail else ''}")
+    return bool(ok)
+
+
+def validate_vq_pallas(rs):
+    from vqvae_tpu.ops.vq_pallas import nearest_codes_pallas
+    from vqvae_tpu.ops.vq import _nearest_codes_xla
+
+    x = jnp.asarray(rs.randn(4096, 256), jnp.float32)
+    cb = jnp.asarray(rs.randn(1024, 256), jnp.float32)
+    cp = np.asarray(jax.jit(nearest_codes_pallas)(x, cb))
+    cr = np.asarray(jax.jit(_nearest_codes_xla)(x, cb))
+    n_bad = int((cp != cr).sum())
+    return check("pallas VQ == XLA oracle", n_bad == 0, f"{n_bad} mismatches")
+
+
+def validate_folded_upsample(rs):
+    from vqvae_tpu.models.autoencoder import Upsample
+
+    x = jnp.asarray(rs.randn(2, 16, 16, 32), jnp.float32)
+    mod = Upsample(channels=32, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    # pin to HIGHEST so the check sees the fold transform, not the TPU's
+    # default one-pass bf16 MXU accumulation (both sides would differ at
+    # bf16 eps otherwise — that is the normal training compute policy)
+    with jax.default_matmul_precision("highest"):
+        y = jax.jit(lambda p, x: mod.apply(p, x))(params, x)
+        w = params["params"]["conv"]["Conv_0"]["kernel"]
+        b = params["params"]["conv"]["Conv_0"]["bias"]
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = jax.lax.conv_general_dilated(
+            up, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        err = float(jnp.max(jnp.abs(y - ref)))
+    return check("folded upsample == replicate+conv", err < 1e-4, f"max err {err:.2e}")
+
+
+def validate_upfirdn_adjoint(rs):
+    from vqvae_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
+
+    f = setup_filter([1, 3, 3, 1])
+    x = jnp.asarray(rs.randn(2, 16, 16, 8), jnp.float32)
+
+    def fwd(x):
+        return upfirdn2d(x, f, down=2, padding=1)
+
+    y_shape = jax.eval_shape(fwd, x)
+    y = jnp.asarray(rs.randn(*y_shape.shape), jnp.float32)
+    fx, vjp = jax.vjp(fwd, x)
+    fty = vjp(y)[0]
+    lhs = float(jnp.vdot(fx, y))
+    rhs = float(jnp.vdot(x, fty))
+    return check("upfirdn2d adjoint identity", abs(lhs - rhs) < 1e-3 * max(1, abs(lhs)),
+                 f"<f(x),y>={lhs:.6f} <x,fT(y)>={rhs:.6f}")
+
+
+def validate_groupnorm(rs):
+    from vqvae_tpu.models.autoencoder import GroupNorm
+
+    x = np.asarray(rs.randn(2, 8, 8, 64), np.float32)
+    mod = GroupNorm(num_groups=32, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(jax.jit(lambda p, x: mod.apply(p, x))(params, jnp.asarray(x)))
+
+    xg = x.reshape(2, 8, 8, 32, 2)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((xg - mean) ** 2).sum(axis=(1, 2, 4), keepdims=True) / (8 * 8 * 2 - 1)
+    ref = ((xg - mean) / np.sqrt(var + 1e-6)).reshape(x.shape)
+    err = float(np.max(np.abs(y - ref)))
+    return check("GroupNorm (unbiased, fp32 stats)", err < 1e-4, f"max err {err:.2e}")
+
+
+def validate_bias_act(rs):
+    from vqvae_tpu.ops.bias_act import activation_funcs, bias_act
+
+    x = jnp.asarray(rs.randn(64, 32), jnp.float32)
+    b = jnp.asarray(rs.randn(32), jnp.float32)
+    ok = True
+    for name, spec in activation_funcs.items():
+        y = jax.jit(lambda x, b, n=name: bias_act(x, b, act=n))(x, b)
+        ref = spec.fn(x + b[None, :], spec.def_alpha) * spec.def_gain
+        err = float(jnp.max(jnp.abs(y - ref)))
+        if err > 1e-4:
+            ok = check(f"bias_act[{name}]", False, f"max err {err:.2e}")
+    return check("bias_act activation table", ok)
+
+
+def main():
+    print(f"backend: {jax.default_backend()}, device: {jax.devices()[0].device_kind}")
+    rs = np.random.RandomState(0)
+    results = [
+        validate_vq_pallas(rs),
+        validate_folded_upsample(rs),
+        validate_upfirdn_adjoint(rs),
+        validate_groupnorm(rs),
+        validate_bias_act(rs),
+    ]
+    if not all(results):
+        sys.exit(1)
+    print("all TPU validation checks passed")
+
+
+if __name__ == "__main__":
+    main()
