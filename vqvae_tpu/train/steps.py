@@ -193,12 +193,7 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
              if cfg.training is not None else 1)
 
     # ------------------------------------------------------------------
-    # shared D-forward on the reconstructions: one forward, two logits
-    # outputs whose cotangents are routed disjointly (generator loss ->
-    # d/d recon only; discriminator loss -> d/d disc_params only). The
-    # two vjp calls below share the single forward's residuals; XLA DCEs
-    # the unused half of each backward (the weight grads of the generator
-    # pullback, the input grad of the discriminator pullback).
+    # shared D-forward on the reconstructions (see make_paired_logits)
     # ------------------------------------------------------------------
     if disc is not None:
         paired_fake_logits = make_paired_logits(
