@@ -21,19 +21,29 @@ def l2_loss(recon, target):
     return jnp.mean((target - recon) ** 2)
 
 
+def generator_loss_per_sample(logits_fake: jnp.ndarray,
+                              loss_type: str = "hinge"):
+    """Per-sample generator adversarial loss, (B,)-shaped (used by the
+    masked eval step; the scalar trainer loss is its batch mean)."""
+    if loss_type == "hinge":
+        per = -logits_fake
+    elif loss_type == "non-saturating":
+        # BCE-with-logits against ones == softplus(-logits)
+        per = jax.nn.softplus(-logits_fake)
+    else:
+        raise ValueError(f"unknown loss_type: {loss_type}")
+    return per.reshape(per.shape[0], -1).mean(axis=1)
+
+
 def generator_loss(logits_fake: jnp.ndarray, loss_type: str = "hinge"):
     """Generator adversarial loss (reference loss.py:11-26)."""
-    if loss_type == "hinge":
-        return -jnp.mean(logits_fake)
-    if loss_type == "non-saturating":
-        # BCE-with-logits against ones == softplus(-logits)
-        return jnp.mean(jax.nn.softplus(-logits_fake))
-    raise ValueError(f"unknown loss_type: {loss_type}")
+    return jnp.mean(generator_loss_per_sample(logits_fake, loss_type))
 
 
-def discriminator_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray,
-                       loss_type: str = "hinge"):
-    """Discriminator adversarial loss (reference loss.py:29-51)."""
+def discriminator_loss_per_sample(logits_real: jnp.ndarray,
+                                  logits_fake: jnp.ndarray,
+                                  loss_type: str = "hinge"):
+    """Per-sample discriminator adversarial loss, (B,)-shaped."""
     if loss_type == "hinge":
         real = jax.nn.relu(1.0 - logits_real)
         fake = jax.nn.relu(1.0 + logits_fake)
@@ -42,7 +52,15 @@ def discriminator_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray,
         fake = jax.nn.softplus(logits_fake)    # BCE vs zeros
     else:
         raise ValueError(f"unknown loss_type: {loss_type}")
-    return jnp.mean(real + fake)
+    per = real + fake
+    return per.reshape(per.shape[0], -1).mean(axis=1)
+
+
+def discriminator_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray,
+                       loss_type: str = "hinge"):
+    """Discriminator adversarial loss (reference loss.py:29-51)."""
+    return jnp.mean(
+        discriminator_loss_per_sample(logits_real, logits_fake, loss_type))
 
 
 def r1_penalty(disc_apply, disc_params, images: jnp.ndarray,

@@ -228,7 +228,7 @@ class LPIPS(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, y):
+    def __call__(self, x, y, reduce: bool = True):
         if self.net_type == "vgg":
             net = VGG16Features(dtype=self.dtype, name="net")
             channels = VGG16_CHANNELS
@@ -257,7 +257,9 @@ class LPIPS(nn.Module):
                                   lin.astype(diff.dtype),
                                   preferred_element_type=jnp.float32)
             total = total + jnp.mean(weighted, axis=(1, 2, 3))
-        return jnp.mean(total)
+        # reduce=False -> per-sample distances (B,), used by the masked eval
+        # step to exclude zero-padded rows from partial final batches
+        return jnp.mean(total) if reduce else total
 
 
 def lpips_weights_path(net_type: str) -> Path:

@@ -65,7 +65,9 @@ def get_codebook_usage(index_count: jnp.ndarray):
     """(probs, perplexity, %used) from per-code usage counts
     (reference base_quantizer.py:63-79)."""
     index_count = index_count.astype(jnp.float32)
-    probs = index_count / jnp.sum(index_count)
+    # guarded denominator: an all-zero histogram (e.g. a validation set that
+    # produced no valid rows) yields perplexity 1 / usage 0 instead of NaN
+    probs = index_count / jnp.maximum(jnp.sum(index_count), 1.0)
     perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
     used_pct = jnp.count_nonzero(probs) * 100.0 / index_count.shape[0]
     return probs, perplexity, used_pct
@@ -82,6 +84,31 @@ def reinit_unused_codes(codebook: jnp.ndarray, usage_probs: jnp.ndarray,
     logits = jnp.log(usage_probs + 1e-30)
     replacements = jax.random.categorical(rng, logits, shape=(n,))
     return jnp.where(unused[:, None], codebook[replacements], codebook)
+
+
+def reinit_unused_codes_ema(codebook: jnp.ndarray, ema_weight: jnp.ndarray,
+                            ema_count: jnp.ndarray, usage_probs: jnp.ndarray,
+                            rng: jax.Array):
+    """Dead-code reinit for the EMA quantizer: resample codebook rows AND the
+    EMA accumulators they are derived from.
+
+    The reference's reinit only rewrites ``codebook.weight``
+    (base_quantizer.py:96-102) — for the EMA quantizer that is a silent
+    no-op, because the next training step overwrites the codebook with
+    ``ema_weight / ema_count`` (vector_quantizers.py:169) computed from the
+    UNTOUCHED accumulators, restoring the dead rows. (Never observed
+    upstream: no example config combines ema with reinit.) Here the
+    replacement rows' ``ema_weight``/``ema_count`` are copied too, so the
+    reinitialized vector survives: w = ema_weight[r]/ema_count[r] =
+    codebook[r] by construction. Deliberate fix, recorded in PARITY §2.4.
+    """
+    n = usage_probs.shape[0]
+    unused = usage_probs == 0.0
+    logits = jnp.log(usage_probs + 1e-30)
+    replacements = jax.random.categorical(rng, logits, shape=(n,))
+    pick = lambda arr: jnp.where(unused[:, None] if arr.ndim == 2 else unused,
+                                 arr[replacements], arr)
+    return pick(codebook), pick(ema_weight), pick(ema_count)
 
 
 def count_code_usage(codes: jnp.ndarray, num_embeddings: int,

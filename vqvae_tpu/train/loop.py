@@ -28,7 +28,8 @@ from vqvae_tpu.config import Config
 from vqvae_tpu.models.discriminator import Discriminator
 from vqvae_tpu.models.lpips import init_lpips
 from vqvae_tpu.models.preprocess import denormalize
-from vqvae_tpu.models.quantizers import get_codebook_usage, reinit_unused_codes
+from vqvae_tpu.models.quantizers import (
+    get_codebook_usage, reinit_unused_codes, reinit_unused_codes_ema)
 from vqvae_tpu.models.vqvae import VQVAE, model_rngs
 from vqvae_tpu.parallel.mesh import create_mesh, shard_batch
 from vqvae_tpu.train.optim import make_ae_optimizer, make_disc_optimizer
@@ -37,6 +38,14 @@ from vqvae_tpu.train.state import TrainState, create_train_state
 from vqvae_tpu.train.steps import build_steps
 from vqvae_tpu.utils.checkpoint import CheckpointManager
 from vqvae_tpu.utils.logging import MetricLogger, make_recon_panel
+
+
+def _to_float01(images) -> np.ndarray:
+    """uint8 [0,255] or float [0,1] batch -> float [0,1] (panel logging)."""
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    return arr.astype(np.float32)
 
 
 @dataclass
@@ -89,15 +98,27 @@ class Trainer:
                 lpips_params = self.lpips_params_override
             self.lpips_params = lpips_params
 
-            def lpips_apply(x, y, _m=lpips_module, _p=lpips_params):
-                return _m.apply({"params": _p}, x, y)
+            def lpips_apply(x, y, reduce=True, _m=lpips_module, _p=lpips_params):
+                return _m.apply({"params": _p}, x, y, reduce=reduce)
 
             if cfg.use_adversarial:
                 # the reference's D also ran under AMP; bf16 compute + remat
                 self.disc = Discriminator(img_resolution=cfg.image_size,
                                           dtype=self.compute_dtype,
                                           remat=self.remat)
-                self.disc_tx = make_disc_optimizer(self.lr_sched, t.betas,
+                # The discriminator's optax step count starts at 0 when the
+                # GAN phase begins (no D updates before start_epoch), but the
+                # reference drives BOTH optimizers' LR from the GLOBAL step
+                # (model.py:202-230 scheduler.step(current_step)). Shift the
+                # schedule by the steps D sat out so its LR matches.
+                start_epoch = cfg.loss.adversarial.start_epoch
+                d_offset = int(start_epoch) * self.steps_per_epoch
+
+                def disc_lr_sched(count, _s=self.lr_sched, _o=d_offset):
+                    return _s(count + _o)
+
+                self.disc_lr_sched = disc_lr_sched
+                self.disc_tx = make_disc_optimizer(disc_lr_sched, t.betas,
                                                    t.eps, t.weight_decay)
 
         self.steps = build_steps(
@@ -160,7 +181,6 @@ class Trainer:
         return fn(state, images)
 
     def eval_step(self, state, batch, epoch: int):
-        import numpy as np
         images = batch["image"]
         mask = batch.get("mask")
         if mask is None:
@@ -180,10 +200,15 @@ class Trainer:
         probs, _, _ = get_codebook_usage(state.usage_count)
         rng = jax.random.fold_in(state.rng, 7919 + epoch)
         if self.cfg.quantizer.type == "ema":
-            cb = state.vq_state["quantizer"]["codebook"]
-            new_cb = reinit_unused_codes(cb, probs, rng)
+            # must also reinit the EMA accumulators, or the next step's
+            # codebook = ema_weight/ema_count restores the dead rows (the
+            # reference has this exact no-op; see reinit_unused_codes_ema)
+            q = state.vq_state["quantizer"]
+            new_cb, new_w, new_c = reinit_unused_codes_ema(
+                q["codebook"], q["ema_weight"], q["ema_count"], probs, rng)
             vq = dict(state.vq_state)
-            vq["quantizer"] = dict(vq["quantizer"], codebook=new_cb)
+            vq["quantizer"] = dict(q, codebook=new_cb, ema_weight=new_w,
+                                   ema_count=new_c)
             return state.replace(vq_state=vq)
         cb = state.params["quantizer"]["codebook"]
         new_cb = reinit_unused_codes(cb, probs, rng)
@@ -220,8 +245,11 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
     max_epochs = max_epochs or cfg.training.max_epochs
     use_adv = cfg.use_adversarial
     accum = cfg.training.grad_accum_steps if cfg.training is not None else 1
-    n_dev = mesh.devices.size if mesh is not None else 1
-    per_dev = train_loader.batch_size // max(n_dev, 1)
+    # the loader batch is per-HOST (train.py divides the cumulative batch by
+    # process_count); divide by this host's LOCAL device share of the mesh
+    n_local = (mesh.devices.size // jax.process_count()
+               if mesh is not None else 1)
+    per_dev = train_loader.batch_size // max(n_local, 1)
     if per_dev % max(accum, 1) != 0:
         raise RuntimeError(
             f"per-device batch {per_dev} must be divisible by "
@@ -246,11 +274,8 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
             last_metrics = metrics
             if batch_index == log_recon_batch and epoch % 5 == 0:
                 _, _, recons = trainer.eval_step(state, batch, epoch)
-                panel = make_recon_panel(
-                    np.asarray(batch["image"], np.float32) / 255.0
-                    if batch["image"].dtype == np.uint8
-                    else np.asarray(batch["image"]),
-                    np.asarray(recons))
+                panel = make_recon_panel(_to_float01(batch["image"]),
+                                         np.asarray(recons))
                 logger.log_images(panel, int(state.step),
                                   "train/reconstructions")
 
@@ -279,25 +304,28 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
 
 def run_validation(trainer, state, val_loader, epoch, logger=None,
                    log_recon_batch: int = 2):
-    sums, count = {}, 0
+    """Weighted-mean validation over the loader.
+
+    Partial final batches are INCLUDED: the eval step computes masked means
+    over the valid rows and reports `n_valid`, so tail samples contribute
+    with their true weight (the earlier skip-partial-batch policy silently
+    dropped up to batch_size-1 images — and produced NaN perplexity when the
+    whole set fit in one padded batch)."""
+    sums, total_n = {}, 0.0
     usage = None
     for batch_index, batch in enumerate(val_loader):
-        if not batch["mask"].all():
-            continue  # partial final batch: skip (static-shape eval)
         metrics, batch_usage, recons = trainer.eval_step(state, batch, epoch)
         usage = batch_usage if usage is None else usage + batch_usage
+        n = float(metrics.pop("n_valid"))
+        total_n += n
         for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
-        count += 1
+            sums[k] = sums.get(k, 0.0) + float(v) * n
         if batch_index == log_recon_batch and logger is not None:
-            panel = make_recon_panel(
-                np.asarray(batch["image"], np.float32) / 255.0
-                if batch["image"].dtype == np.uint8
-                else np.asarray(batch["image"]),
-                np.asarray(recons))
+            panel = make_recon_panel(_to_float01(batch["image"]),
+                                     np.asarray(recons))
             logger.log_images(panel, int(state.step),
                               "validation/reconstructions")
-    mean = {k: v / max(count, 1) for k, v in sums.items()}
+    mean = {k: v / max(total_n, 1.0) for k, v in sums.items()}
     if usage is None:
         usage = np.zeros((trainer.cfg.quantizer.num_embeddings,), np.int32)
     return mean, np.asarray(usage)

@@ -55,7 +55,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8: jax.shard_map with check_vma kwarg
     from jax import shard_map as _shard_map
@@ -67,7 +67,9 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from vqvae_tpu.config import Config
-from vqvae_tpu.losses.losses import discriminator_loss, generator_loss
+from vqvae_tpu.losses.losses import (
+    discriminator_loss, discriminator_loss_per_sample,
+    generator_loss, generator_loss_per_sample, l1_loss, l2_loss)
 from vqvae_tpu.models.preprocess import denormalize, preprocess_batch
 from vqvae_tpu.models.quantizers import count_code_usage
 from vqvae_tpu.train.state import TrainState
@@ -141,7 +143,6 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
       lr_sched/temp_sched/kl_sched: step -> scalar schedules (logging + gumbel).
     """
     is_gumbel = cfg.quantizer.type == "gumbel"
-    is_ema = cfg.quantizer.type == "ema"
     n_codes = cfg.quantizer.num_embeddings
     l_conf = cfg.loss
     adv = l_conf.adversarial if l_conf is not None else None
@@ -168,8 +169,8 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
         return recon, q_loss, codes, vq_state
 
     def recon_losses(images, recon):
-        l1 = jnp.mean(jnp.abs(images - recon))
-        l2 = jnp.mean((images - recon) ** 2)
+        l1 = l1_loss(recon, images)
+        l2 = l2_loss(recon, images)
         if l_conf is not None:
             p = lpips_apply(images, recon)
             nll = (l1 * l_conf.l1_weight + l2 * l_conf.l2_weight
@@ -386,33 +387,64 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # eval step (validation/test: no augs, no optimizer, no EMA mutation)
     # ------------------------------------------------------------------
     def _eval_step(state: TrainState, batch, gan_active: bool):
+        # All per-sample metrics are MASKED means: zero-padded rows of a
+        # partial final eval batch (data/dataset.py Loader contract) are
+        # excluded exactly, and the cross-device reduction is
+        # psum(sum)/psum(count) so unevenly-filled shards stay correct.
+        # Exception: quant_loss comes out of the quantizer as a batch scalar
+        # (masking it would mean threading the mask through the model); on
+        # the single partial batch of an epoch it includes the padded rows.
         images, mask = batch
         images = preprocess_batch(images)
+        maskf = mask.astype(jnp.float32)
+
+        def masked_mean(per_sample):
+            s = _psum(jnp.sum(per_sample * maskf))
+            n = _psum(jnp.sum(maskf))
+            return s / jnp.maximum(n, 1.0)
+
+        def per_sample_mean(x):
+            return x.reshape(x.shape[0], -1).astype(jnp.float32).mean(axis=1)
+
         rng_model = jax.random.fold_in(state.rng, state.step)
         if mesh is not None:
             rng_model = jax.random.fold_in(rng_model, jax.lax.axis_index(AXIS))
         recon, q_loss, codes, _ = forward(state.params, state.vq_state, images,
                                           rng_model, state.step, train=False)
-        l1, l2, p, nll = recon_losses(images, recon)
+
+        l1_i = per_sample_mean(jnp.abs(images - recon))
+        l2_i = per_sample_mean((images - recon) ** 2)
+        if l_conf is not None:
+            p_i = lpips_apply(images, recon, reduce=False)
+            nll_i = (l1_i * l_conf.l1_weight + l2_i * l_conf.l2_weight
+                     + p_i * l_conf.perc_weight)
+        else:
+            p_i = jnp.zeros_like(l1_i)
+            nll_i = l2_i
 
         if adv is not None and gan_active:
             logits_fake = disc.apply({"params": state.disc_params}, recon)
-            g_loss = generator_loss(logits_fake, adv.loss_type)
+            g_i = generator_loss_per_sample(logits_fake, adv.loss_type)
             logits_real = disc.apply({"params": state.disc_params}, images)
-            d_loss = discriminator_loss(logits_real, logits_fake, adv.loss_type)
-            loss = nll + g_loss * adv.g_weight + q_loss
+            d_i = discriminator_loss_per_sample(logits_real, logits_fake,
+                                                adv.loss_type)
+            loss_i = nll_i + g_i * adv.g_weight + q_loss
         else:
-            g_loss = jnp.zeros(())
-            d_loss = jnp.zeros(())
-            loss = nll + q_loss if l_conf is not None else q_loss + l2
+            g_i = jnp.zeros_like(l1_i)
+            d_i = jnp.zeros_like(l1_i)
+            loss_i = (nll_i + q_loss if l_conf is not None
+                      else q_loss + l2_i)
 
         # padded rows (mask=False) excluded: they would otherwise pollute the
         # usage histogram / perplexity on the partial final eval batch
         usage = _psum(count_code_usage(codes, n_codes, mask=mask))
-        metrics = _pmean({
-            "loss": loss, "l1_loss": l1, "l2_loss": l2, "quant_loss": q_loss,
-            "perc_loss": p, "gen_loss": g_loss, "disc_loss": d_loss,
-        })
+        metrics = {
+            "loss": masked_mean(loss_i), "l1_loss": masked_mean(l1_i),
+            "l2_loss": masked_mean(l2_i), "quant_loss": _pmean(q_loss),
+            "perc_loss": masked_mean(p_i), "gen_loss": masked_mean(g_i),
+            "disc_loss": masked_mean(d_i),
+            "n_valid": _psum(jnp.sum(maskf)),
+        }
         # reconstructions in [0,1] for logging panels (model.py:442-456)
         return metrics, usage, denormalize(recon)
 
