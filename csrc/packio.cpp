@@ -75,13 +75,29 @@ void* packio_open(const char* path) {
   r->data = static_cast<const uint8_t*>(mem);
   r->size = st.st_size;
   r->header = reinterpret_cast<const Header*>(r->data);
-  if (r->header->magic != kMagic || r->header->version != 1) {
+  // validate structure against the real file size: a truncated/corrupt
+  // .pack must fail open() cleanly, not SIGSEGV in a later memcpy
+  bool ok = static_cast<size_t>(st.st_size) >= sizeof(Header) &&
+            r->header->magic == kMagic && r->header->version == 1 &&
+            static_cast<size_t>(st.st_size) >=
+                sizeof(Header) + r->header->count * sizeof(IndexEntry);
+  if (ok) {
+    r->index = reinterpret_cast<const IndexEntry*>(r->data + sizeof(Header));
+    for (uint64_t i = 0; i < r->header->count; ++i) {
+      const IndexEntry& e = r->index[i];
+      if (e.offset > r->size || e.length > r->size ||
+          e.offset + e.length > r->size) {
+        ok = false;
+        break;
+      }
+    }
+  }
+  if (!ok) {
     munmap(mem, st.st_size);
     ::close(fd);
     delete r;
     return nullptr;
   }
-  r->index = reinterpret_cast<const IndexEntry*>(r->data + sizeof(Header));
   return r;
 }
 

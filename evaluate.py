@@ -35,8 +35,28 @@ def parse_args():
     return parser.parse_args()
 
 
+def _local_rows(arr):
+    """Host-local rows of a (possibly multi-process) sharded array.
+
+    np.asarray on an array spanning non-addressable devices raises; each
+    host's addressable shards are exactly its own loader's rows in order
+    (the make_array_from_process_local_data contract in shard_batch)."""
+    import jax
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
-    """Run the test metric suite; returns a dict of results."""
+    """Run the test metric suite; returns a dict of results.
+
+    Multi-host: each process streams its own shard of the test set through
+    the metric accumulators, which are sum-reduced across hosts before
+    compute (mse/ssim/psnr sums, FID feature moments, usage histogram)."""
+    import jax
     import numpy as np
 
     from vqvae_tpu.eval.fid import FID, load_inception_extractor
@@ -53,7 +73,7 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
         images = np.asarray(batch["image"], np.float32)
         if batch["image"].dtype == np.uint8:
             images = images / 255.0
-        recons = np.asarray(recons)
+        recons = _local_rows(recons)
         mask = np.asarray(batch["mask"], bool)
 
         recon_metrics.update(recons, images, mask)
@@ -63,6 +83,18 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
             to_u8 = lambda x: np.clip(x * 255.0, 0, 255).astype(np.uint8)
             fid.update(to_u8(recons), real=False, mask=mask)
             fid.update(to_u8(images), real=True, mask=mask)
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def allsum(x):
+            return np.asarray(
+                multihost_utils.process_allgather(np.asarray(x))).sum(axis=0)
+
+        recon_metrics.reduce_across_hosts(allsum)
+        if fid is not None:
+            fid.reduce_across_hosts(allsum)
+        # usage was already psum'd across the mesh inside the eval step
 
     results = recon_metrics.compute()
     _, perplexity, cb_usage = get_codebook_usage(np.asarray(usage))

@@ -1,0 +1,123 @@
+"""Data-layer robustness regressions (round-1 self-review):
+
+- a failing worker (corrupt image) raises in the consumer instead of
+  silently hanging the training loop on q.get();
+- abandoning iteration mid-epoch does not leave the producer thread parked
+  in q.put forever;
+- PackedDataset batches go through the vectorized read_batch path and match
+  per-item reads;
+- multi-host shard_rank/shard_count iterate disjoint, equal-length shards;
+- the streaming packed writer round-trips (including compressed mode);
+- a truncated .pack is rejected by the native reader instead of reading out
+  of bounds.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vqvae_tpu.data.dataset import ImageFolderDataset, Loader
+from vqvae_tpu.data.packed import PackedDataset, write_packed
+
+
+@pytest.fixture()
+def image_folder(tmp_path):
+    d = tmp_path / "train"
+    d.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(12):
+        Image.fromarray(rs.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            d / f"i{i:02d}.png")
+    return d
+
+
+def test_worker_exception_propagates(image_folder):
+    # corrupt one file after indexing
+    ds = ImageFolderDataset(str(image_folder), 16)
+    bad = ds.samples[3]
+    bad.write_bytes(b"not an image")
+    loader = Loader(ds, batch_size=4, num_workers=2)
+    with pytest.raises(RuntimeError, match="data loader worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_abandoned_iteration_unblocks_producer(image_folder):
+    ds = ImageFolderDataset(str(image_folder), 16)
+    loader = Loader(ds, batch_size=2, num_workers=1, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon: generator finally sets stop
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_packed_loader_uses_batched_reads(tmp_path):
+    rs = np.random.RandomState(1)
+    imgs = [rs.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(10)]
+    path = tmp_path / "train.pack"
+    write_packed(str(path), imgs, 16)
+    ds = PackedDataset(str(path))
+
+    calls = []
+    orig = ds.read_batch
+
+    def spy(indices):
+        calls.append(len(indices))
+        return orig(indices)
+
+    ds.read_batch = spy
+    loader = Loader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert calls == [4, 4, 2], calls  # whole-batch reads (last is partial)
+    got = np.concatenate([b["image"][b["mask"]] for b in batches])
+    np.testing.assert_array_equal(got, np.stack(imgs))
+
+
+def test_shard_disjoint_and_lockstep(image_folder):
+    ds = ImageFolderDataset(str(image_folder), 16)
+    loaders = [Loader(ds, batch_size=2, shuffle=True, drop_last=True, seed=3,
+                      shard_rank=r, shard_count=3) for r in range(3)]
+    for l in loaders:
+        l.set_epoch(1)
+    assert len({len(l) for l in loaders}) == 1  # identical step counts
+    orders = [l._order() for l in loaders]
+    all_idx = np.concatenate(orders)
+    assert len(set(all_idx.tolist())) == len(all_idx)  # disjoint shards
+
+
+def test_streaming_writer_roundtrip_compressed(tmp_path):
+    rs = np.random.RandomState(2)
+    imgs = [rs.randint(0, 255, (8, 8, 3), np.uint8) for _ in range(5)]
+    path = tmp_path / "c.pack"
+
+    def gen():  # generator input: the writer must stream, not materialize
+        yield from imgs
+
+    n = write_packed(str(path), gen(), 8, compress=True)
+    assert n == 5
+    ds = PackedDataset(str(path))
+    np.testing.assert_array_equal(ds.read_batch(np.arange(5)), np.stack(imgs))
+    assert not list(tmp_path.glob("*.tmp")), "temp sidecar not cleaned up"
+
+
+def test_truncated_pack_rejected_by_native_reader(tmp_path):
+    rs = np.random.RandomState(3)
+    imgs = [rs.randint(0, 255, (8, 8, 3), np.uint8) for _ in range(4)]
+    path = tmp_path / "t.pack"
+    write_packed(str(path), imgs, 8)
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) - 100])  # truncate the data section
+
+    ds = PackedDataset(str(path))
+    # the native reader must refuse the file (falls back to python), and any
+    # read of the truncated tail must raise instead of reading OOB
+    assert not ds.is_native
+    with pytest.raises(Exception):
+        ds.read_batch(np.arange(4))

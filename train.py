@@ -86,7 +86,14 @@ def main():
     mesh = create_mesh() if n_devices > 1 else None
 
     cumulative_bs = cfg.training.cumulative_bs
-    batch_per_host = cumulative_bs // jax.process_count()
+    if mesh is not None:
+        # validates divisibility up front (a clear error at startup instead
+        # of an opaque sharding failure after the first compile, and no
+        # silent global-batch drift when hosts don't divide cumulative_bs)
+        from vqvae_tpu.parallel.mesh import local_batch_size
+        batch_per_host = local_batch_size(cumulative_bs, mesh)
+    else:
+        batch_per_host = cumulative_bs // jax.process_count()
     # sqrt LR scaling with global batch (reference train.py:63)
     learning_rate = cfg.training.base_lr * math.sqrt(cumulative_bs / 256)
 

@@ -74,7 +74,7 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0, num_workers: int = 4,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard_rank: int = 0, shard_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -83,9 +83,19 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host sharding: host r iterates samples r::count of the
+        # (identically seeded) global order, truncated to the same length on
+        # every host so per-step collectives stay in lockstep. Without this
+        # every host would feed the SAME rows and the global batch would be
+        # `shard_count` duplicates of one per-host batch.
+        self.shard_rank = int(shard_rank)
+        self.shard_count = max(1, int(shard_count))
+
+    def _shard_len(self) -> int:
+        return len(self.dataset) // self.shard_count
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
@@ -95,57 +105,110 @@ class Loader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.RandomState((self.seed * 100003 + self.epoch) % (2 ** 31))
-            return rng.permutation(n)
-        return np.arange(n)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.shard_count > 1:
+            # same truncated length on every host (drops n % shard_count
+            # tail samples; for eval this loses at most shard_count-1 images)
+            order = order[self.shard_rank::self.shard_count][:self._shard_len()]
+        return order
 
     def __iter__(self) -> Iterator[dict]:
         order = self._order()
-        n = len(order)
         n_batches = len(self)
         bs = self.batch_size
+        # vectorized batch fetch when the dataset supports it (PackedDataset's
+        # native reader decodes a whole batch in one C++ call with its own
+        # thread pool; per-__getitem__ fetches would leave it single-threaded)
+        batched = hasattr(self.dataset, "read_batch")
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that never deadlocks: re-checks `stop` so an
+            abandoned iterator (consumer exception) can't park the producer
+            in q.put forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _make_batch(imgs_list):
+            mask = np.ones((bs,), bool)
+            if len(imgs_list) < bs:
+                pad = bs - len(imgs_list)
+                mask[len(imgs_list):] = False
+                imgs_list = list(imgs_list) + [np.zeros_like(imgs_list[0])] * pad
+            return {"image": np.stack(imgs_list), "mask": mask}
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idx = order[b * bs:(b + 1) * bs]
-                    imgs = list(pool.map(self.dataset.__getitem__, idx))
-                    mask = np.ones((bs,), bool)
-                    if len(imgs) < bs:
-                        pad = bs - len(imgs)
-                        imgs.extend([np.zeros_like(imgs[0])] * pad)
-                        mask[len(idx):] = False
-                    q.put({"image": np.stack(imgs), "mask": mask})
-            q.put(None)
+            # exceptions (corrupt image, truncated pack file, ...) are
+            # forwarded to the consumer instead of silently killing this
+            # thread and hanging the training loop on q.get()
+            try:
+                if batched:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        idx = np.asarray(order[b * bs:(b + 1) * bs], np.int64)
+                        imgs = list(self.dataset.read_batch(idx))
+                        if not _put(("batch", _make_batch(imgs))):
+                            return
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for b in range(n_batches):
+                            if stop.is_set():
+                                return
+                            idx = order[b * bs:(b + 1) * bs]
+                            imgs = list(pool.map(self.dataset.__getitem__, idx))
+                            if not _put(("batch", _make_batch(imgs))):
+                                return
+            except BaseException as exc:  # noqa: BLE001 — forwarded, re-raised
+                _put(("error", exc))
+                return
+            _put(("end", None))
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
         try:
             while True:
-                item = q.get()
-                if item is None:
+                kind, payload = q.get()
+                if kind == "end":
                     return
-                yield item
+                if kind == "error":
+                    raise RuntimeError(
+                        "data loader worker failed") from payload
+                yield payload
         finally:
             stop.set()
 
 
 def get_loaders(loader_type: str, dirpath: str, image_size: int,
                 batch_size: int, workers: int, seed: int,
-                mode: str = "train"):
+                mode: str = "train", shard_rank: Optional[int] = None,
+                shard_count: Optional[int] = None):
     """Loader factory mirroring reference get_datamodule
     (common_utils.py:38-103): 'standard' = image folders train/ validation/
     test/; 'packed' = packed record files train.pack / validation.pack /
     test.pack (the FFCV-beton equivalent).
+
+    ``shard_rank``/``shard_count`` default to this JAX process's index/count
+    so multi-host runs iterate disjoint dataset shards (the reference gets
+    this from torch DistributedSampler inside Lightning).
     """
     import os
     if not os.path.isdir(dirpath):
         raise FileNotFoundError(f"dataset path not found: {dirpath}")
     dirpath = dirpath if dirpath.endswith("/") else dirpath + "/"
+    if shard_rank is None or shard_count is None:
+        import jax
+        shard_rank = jax.process_index()
+        shard_count = jax.process_count()
 
     def make_ds(subpath: str):
         if loader_type == "standard":
@@ -156,12 +219,14 @@ def get_loaders(loader_type: str, dirpath: str, image_size: int,
                                  image_size)
         raise ValueError(f"loader type not recognized: {loader_type}")
 
+    kw = dict(seed=seed, num_workers=workers, shard_rank=shard_rank,
+              shard_count=shard_count)
     if mode == "train":
         train = Loader(make_ds("train/"), batch_size, shuffle=True,
-                       drop_last=True, seed=seed, num_workers=workers)
+                       drop_last=True, **kw)
         val = Loader(make_ds("validation/"), batch_size, shuffle=False,
-                     drop_last=False, seed=seed, num_workers=workers)
+                     drop_last=False, **kw)
         return train, val
     test = Loader(make_ds("test/"), batch_size, shuffle=False,
-                  drop_last=False, seed=seed, num_workers=workers)
+                  drop_last=False, **kw)
     return test

@@ -73,27 +73,43 @@ def _load_library():
 def write_packed(path: str, images: Iterable[np.ndarray],
                  image_size: int, channels: int = 3,
                  compress: bool = False) -> int:
-    """Write HWC uint8 images (already resized) into a .pack file."""
-    records = []
-    for img in images:
-        img = np.ascontiguousarray(img, np.uint8)
-        assert img.shape == (image_size, image_size, channels), img.shape
-        raw = img.tobytes()
-        records.append(zlib.compress(raw, 6) if compress else raw)
+    """Write HWC uint8 images (already resized) into a .pack file.
 
-    count = len(records)
-    header = struct.pack(HEADER_FMT, MAGIC, 1, count, image_size, image_size,
-                         channels, 1 if compress else 0)
-    index_size = count * struct.calcsize(INDEX_FMT)
-    offset = HEADER_SIZE + index_size
+    Streams: record payloads go to a temp sidecar file as they arrive and
+    only the 16-byte index entries are held in memory, so packing
+    production-scale datasets (ImageNet at 256^2 is ~250 GB raw) never
+    materializes the data in RAM. The final file is header + index + data
+    (the layout csrc/packio.cpp mmaps)."""
+    import shutil
+    import tempfile
 
-    with open(path, "wb") as f:
-        f.write(header)
-        for rec in records:
-            f.write(struct.pack(INDEX_FMT, offset, len(rec)))
-            offset += len(rec)
-        for rec in records:
-            f.write(rec)
+    lengths = []
+    tmp = tempfile.NamedTemporaryFile(
+        dir=str(Path(path).parent), prefix=Path(path).name + ".",
+        suffix=".tmp", delete=False)
+    try:
+        with tmp:
+            for img in images:
+                img = np.ascontiguousarray(img, np.uint8)
+                assert img.shape == (image_size, image_size, channels), img.shape
+                raw = img.tobytes()
+                rec = zlib.compress(raw, 6) if compress else raw
+                tmp.write(rec)
+                lengths.append(len(rec))
+
+        count = len(lengths)
+        header = struct.pack(HEADER_FMT, MAGIC, 1, count, image_size,
+                             image_size, channels, 1 if compress else 0)
+        offset = HEADER_SIZE + count * struct.calcsize(INDEX_FMT)
+        with open(path, "wb") as f:
+            f.write(header)
+            for length in lengths:
+                f.write(struct.pack(INDEX_FMT, offset, length))
+                offset += length
+            with open(tmp.name, "rb") as data:
+                shutil.copyfileobj(data, f, length=16 * 1024 * 1024)
+    finally:
+        Path(tmp.name).unlink(missing_ok=True)
     return count
 
 

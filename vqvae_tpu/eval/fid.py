@@ -43,6 +43,12 @@ class FIDAccumulator:
         self.sum += features.sum(axis=0)
         self.outer += features.T @ features
 
+    def reduce_across_hosts(self, allsum):
+        """Merge per-host partial sums (multi-host eval)."""
+        self.n = int(allsum(np.asarray(self.n)))
+        self.sum = np.asarray(allsum(self.sum))
+        self.outer = np.asarray(allsum(self.outer))
+
     def stats(self):
         assert self.n > 1, "need at least 2 samples for covariance"
         mu = self.sum / self.n
@@ -79,6 +85,10 @@ class FID:
                mask: Optional[np.ndarray] = None):
         feats = np.asarray(self.extractor(images_uint8))
         (self.real if real else self.fake).update(feats, mask)
+
+    def reduce_across_hosts(self, allsum):
+        self.real.reduce_across_hosts(allsum)
+        self.fake.reduce_across_hosts(allsum)
 
     def compute(self) -> float:
         mu_r, cov_r = self.real.stats()

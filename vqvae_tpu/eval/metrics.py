@@ -99,6 +99,14 @@ class ReconMetrics:
         self._ssim_sum += float(ssim_s[mask].sum())
         self._n += int(mask.sum())
 
+    def reduce_across_hosts(self, allsum):
+        """Merge per-host partial sums before compute() on multi-host eval.
+        ``allsum(x) -> x summed over all processes`` (e.g. process_allgather
+        + sum)."""
+        self._se_sum = float(allsum(np.asarray(self._se_sum)))
+        self._ssim_sum = float(allsum(np.asarray(self._ssim_sum)))
+        self._n = int(allsum(np.asarray(self._n)))
+
     def compute(self) -> dict:
         n = max(self._n, 1)
         mse = self._se_sum / n

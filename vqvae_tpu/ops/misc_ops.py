@@ -68,15 +68,10 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, styles: jnp.ndarray,
     Args:
       x: (B, H, W, I); weight: (kh, kw, I, O); styles: (B, I).
     """
-    kh, kw, ci, co = weight.shape
-    # per-sample weight modulation
-    w = weight[None] * styles[:, None, None, :, None]          # (B,kh,kw,I,O)
-    if demodulate:
-        d = jax.lax.rsqrt(jnp.sum(w * w, axis=(1, 2, 3)) + 1e-8)  # (B, O)
-        w = w * d[:, None, None, None, :]
-
-    # execute as activation scaling: x*styles -> conv -> *dcoef (equivalent
-    # to the reference's non-fused path, discriminator.py:62-73)
+    # executed as activation scaling: x*styles -> shared conv -> *dcoef,
+    # equivalent to materializing the per-sample modulated weight
+    # (the reference's non-fused path, discriminator.py:62-73) but with one
+    # batched MXU conv instead of B grouped ones
     x = x * styles[:, None, None, :]
     y = jax.lax.conv_general_dilated(
         x, weight, (1, 1), ((padding, padding), (padding, padding)),
@@ -84,7 +79,7 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, styles: jnp.ndarray,
     if demodulate:
         d = jax.lax.rsqrt(
             jnp.sum((weight[None] * styles[:, None, None, :, None]) ** 2,
-                    axis=(1, 2, 3)) + 1e-8)
+                    axis=(1, 2, 3)) + 1e-8)  # (B, O)
         y = y * d[:, None, None, :]
     return y
 

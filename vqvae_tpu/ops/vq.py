@@ -44,7 +44,9 @@ def nearest_codes(flat_x: jnp.ndarray, codebook: jnp.ndarray,
     Args:
       flat_x: (M, D) float latents.
       codebook: (N, D) float codebook.
-      impl: 'xla' (default), 'pallas', or None -> $VQVAE_TPU_VQ_IMPL or 'auto'.
+      impl: 'xla', 'pallas', or None -> $VQVAE_TPU_VQ_IMPL or 'auto'
+        (the default: Pallas on TPU backends with aligned shapes —
+        M%256==0, N%128==0, D%128==0 — XLA otherwise).
 
     Returns:
       (M,) int32 indices.

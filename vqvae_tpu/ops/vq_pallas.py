@@ -46,7 +46,10 @@ def nearest_codes_pallas(flat_x: jnp.ndarray, codebook: jnp.ndarray,
     """(M, D), (N, D) -> (M,) int32 nearest-code indices."""
     m, d = flat_x.shape
     n = codebook.shape[0]
+    # clear errors instead of opaque Mosaic lowering failures
     assert m % TILE_M == 0, f"M={m} must be a multiple of {TILE_M}"
+    assert n % 128 == 0, f"N={n} must be a multiple of 128 (MXU lanes)"
+    assert d % 128 == 0, f"D={d} must be a multiple of 128 (MXU lanes)"
 
     c2 = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=1)[None, :]  # (1, N)
 

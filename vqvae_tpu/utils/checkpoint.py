@@ -42,8 +42,15 @@ class CheckpointManager:
         self._save_to(self.dir / "last", payload)
 
     def _save_to(self, path: Path, payload):
-        if path.exists():
+        # multi-host: ONE process clears the target (all hosts rmtree-ing a
+        # shared filesystem path races with each other and with the write),
+        # then every process enters orbax's save — orbax coordinates
+        # single-writer-per-shard internally and expects all processes.
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"ckpt_clear:{path.name}")
         self._ckpt.save(str(path), payload)
 
     def restore(self, path: str, template_state: TrainState):
