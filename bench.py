@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 
@@ -77,7 +76,6 @@ def main():
     # plain b32 step (fixed per-step overheads amortize)
     accum = int(os.environ.get("VQGAN_BENCH_ACCUM", 8 if on_tpu else 1))
     if accum > 1:
-        import dataclasses
         batch = batch * accum
         raw["training"]["grad_accum_steps"] = accum
 

@@ -45,8 +45,14 @@ def pack_split(folder: str, out_path: str, resolution: int, compress: bool,
     ds = ImageFolderDataset(folder, resolution)
 
     def images():
+        # bounded chunks: plain pool.map over the whole dataset has no
+        # backpressure — decode threads outpace the (zlib) writer and the
+        # completed arrays pile up in RAM at ImageNet scale
+        chunk = max(64, workers * 16)
         with ThreadPoolExecutor(workers) as pool:
-            yield from pool.map(ds.__getitem__, range(len(ds)))
+            for start in range(0, len(ds), chunk):
+                idx = range(start, min(start + chunk, len(ds)))
+                yield from pool.map(ds.__getitem__, idx)
 
     n = write_packed(out_path, images(), resolution, compress=compress)
     print(f"wrote {out_path}: {n} records @ {resolution}x{resolution}")

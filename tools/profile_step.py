@@ -82,6 +82,10 @@ def report(logdir: str, top_n: int = 40):
             walk(c, path + [name], out)
 
     root = prof.get("byProgram") or prof.get("byCategory")
+    if root is None:
+        print(f"op_profile payload has no byProgram/byCategory tree "
+              f"(keys: {sorted(prof)})", file=sys.stderr)
+        return
     out = []
     walk(root, [], out)
     out.sort(reverse=True)

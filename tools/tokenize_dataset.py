@@ -10,10 +10,10 @@ codebook size so a stage-2 pipeline is self-describing.
         --loading_path /ckpts/run/last --dataset_path /data/ \
         --splits train validation --batch_size 256 --output_folder /tokens/
 
-Runs jitted on all visible devices (data-parallel mesh), deterministic
-(gumbel quantizer uses argmax tokens via deterministic=True by default;
---sampled_tokens reproduces the reference's gumbel-noise vec_to_codes quirk,
-vector_quantizers.py:265-274).
+Runs jitted on one device (tokenization is IO-bound; shard the splits across
+hosts/processes for scale), deterministic (gumbel quantizer uses argmax
+tokens via deterministic=True by default; --sampled_tokens reproduces the
+reference's gumbel-noise vec_to_codes quirk, vector_quantizers.py:265-274).
 """
 
 from __future__ import annotations
@@ -55,7 +55,8 @@ def main():
     import numpy as np
 
     from vqvae_tpu.config import load_config
-    from vqvae_tpu.data.dataset import get_loaders, Loader, ImageFolderDataset
+    from vqvae_tpu.data.dataset import Loader, ImageFolderDataset
+    from vqvae_tpu.data.packed import PackedDataset
     from vqvae_tpu.models.vqvae import VQVAE
     from vqvae_tpu.train.loop import Trainer
     from vqvae_tpu.utils.checkpoint import restore_for_eval
@@ -64,7 +65,15 @@ def main():
     eval_cfg = dataclasses.replace(cfg, loss=None)
     is_gumbel = cfg.quantizer.type == "gumbel"
 
-    trainer = Trainer(cfg=eval_cfg, learning_rate=cfg.training.base_lr,
+    # eval-grade numerics: exported tokens must agree with evaluate.py's
+    # reconstruction path (TPU default matmul precision runs fp32 convs as
+    # one bf16 pass; near-tie code assignments would flip)
+    from vqvae_tpu.ops.misc_ops import set_matmul_precision
+    set_matmul_precision("highest")
+
+    # the LR is irrelevant for tokenization; `training:` is optional schema
+    lr = cfg.training.base_lr if cfg.training is not None else 1e-4
+    trainer = Trainer(cfg=eval_cfg, learning_rate=lr,
                       seed=args.seed, steps_per_epoch=1, mesh=None,
                       compute_dtype=jnp.float32)
     state = trainer.init_state()
@@ -89,20 +98,19 @@ def main():
     manifest = {"num_embeddings": cfg.quantizer.num_embeddings,
                 "quantizer": cfg.quantizer.type,
                 "image_size": cfg.image_size,
-                "latent_tokens": (cfg.image_size
-                                  // 2 ** len(cfg.autoencoder.channel_multipliers)) ** 2,
+                "latent_tokens": cfg.latent_size ** 2,
                 "splits": {}}
 
     for split in args.splits:
-        loader = Loader(
-            ImageFolderDataset(os.path.join(args.dataset_path, split),
+        if args.dataloader == "standard":
+            ds = ImageFolderDataset(os.path.join(args.dataset_path, split),
+                                    cfg.image_size)
+        else:
+            ds = PackedDataset(os.path.join(args.dataset_path, split + ".pack"),
                                cfg.image_size)
-            if args.dataloader == "standard" else
-            __import__("vqvae_tpu.data.packed", fromlist=["PackedDataset"])
-            .PackedDataset(os.path.join(args.dataset_path, split + ".pack"),
-                           cfg.image_size),
-            batch_size=args.batch_size, shuffle=False, drop_last=False,
-            num_workers=args.workers)
+        loader = Loader(ds, batch_size=args.batch_size, shuffle=False,
+                        drop_last=False, num_workers=args.workers,
+                        shard_rank=0, shard_count=1)
         out = []
         rng = jax.random.PRNGKey(args.seed)
         for i, batch in enumerate(loader):

@@ -18,7 +18,6 @@ Differences from the reference, by design (TPU-native):
 from __future__ import annotations
 
 import argparse
-import math
 import os
 
 
@@ -95,7 +94,7 @@ def main():
     else:
         batch_per_host = cumulative_bs // jax.process_count()
     # sqrt LR scaling with global batch (reference train.py:63)
-    learning_rate = cfg.training.base_lr * math.sqrt(cumulative_bs / 256)
+    learning_rate = cfg.training.scaled_lr()
 
     train_loader, val_loader = get_loaders(
         args.dataloader, args.dataset_path, cfg.image_size, batch_per_host,

@@ -157,6 +157,10 @@ def parse_config(raw: dict) -> Config:
                                if a.get("r1_reg_weight") is not None else None),
                 r1_reg_every=int(_opt(a, "r1_reg_every", 16)),
             )
+            if adv.r1_reg_every < 1:
+                raise ValueError(
+                    f"r1_reg_every must be >= 1, got {adv.r1_reg_every} "
+                    "(the host loop computes step % r1_reg_every)")
         l_conf = LossConf(
             l1_weight=float(l["l1_weight"]),
             l2_weight=float(l["l2_weight"]),
@@ -180,6 +184,9 @@ def parse_config(raw: dict) -> Config:
             max_epochs=int(t["max_epochs"]),
             grad_accum_steps=int(_opt(t, "grad_accum_steps", 1)),
         )
+        if t_conf.grad_accum_steps < 1:
+            raise ValueError(
+                f"grad_accum_steps must be >= 1, got {t_conf.grad_accum_steps}")
 
     return Config(
         image_size=int(raw["image_size"]),
