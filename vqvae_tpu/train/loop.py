@@ -48,6 +48,28 @@ def _to_float01(images) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def estimate_activation_gb(cfg: Config, per_device_batch: int) -> float:
+    """Rough activation-memory model for the remat heuristic.
+
+    Calibrated on v5e measurements of the full 256^2 GAN step (channels 128,
+    2 res blocks): ~0.335 GB/image without remat (b64 needed 21.45 GB,
+    PERFORMANCE.md) => ~40 bytes per pixel x base-channel, scaled by the
+    res-block count and discounted ~40% when there is no LPIPS/D stack.
+    Deliberately coarse — it only has to pick the right side of 'fits
+    comfortably in 16 GB HBM'."""
+    c = cfg.autoencoder.channels
+    nrb = max(1, cfg.autoencoder.num_res_blocks)
+    per_img = 40.0 * (cfg.image_size ** 2) * c * (nrb / 2.0)
+    if cfg.loss is None:
+        per_img *= 0.5
+    elif not cfg.use_adversarial:
+        per_img *= 0.75
+    micro = per_device_batch
+    if cfg.training is not None:
+        micro = max(1, per_device_batch // cfg.training.grad_accum_steps)
+    return micro * per_img / 1e9
+
+
 @dataclass
 class Trainer:
     cfg: Config
@@ -57,15 +79,23 @@ class Trainer:
     mesh: Optional[object] = None
     compute_dtype: object = jnp.float32
     lpips_params_override: Optional[object] = None
-    remat: Optional[bool] = None  # None = auto: on for image_size >= 128
+    # None = auto: rematerialize only when the estimated no-remat activation
+    # footprint would crowd HBM (remat costs ~15% recompute — the flagship
+    # 256^2 b32 GAN step fits without it, PERFORMANCE.md)
+    remat: Optional[bool] = None
+    per_device_batch: Optional[int] = None  # feeds the auto-remat estimate
 
     def __post_init__(self):
         cfg = self.cfg
         self.is_gumbel = cfg.quantizer.type == "gumbel"
         axis_name = "data" if self.mesh is not None else None
         if self.remat is None:
-            # full-res activations dominate HBM at production sizes
-            self.remat = cfg.image_size >= 128
+            if self.per_device_batch is not None:
+                self.remat = estimate_activation_gb(
+                    cfg, self.per_device_batch) > 12.0
+            else:
+                # batch unknown at construction: conservative legacy rule
+                self.remat = cfg.image_size >= 128
         self.model = VQVAE.from_config(cfg, dtype=self.compute_dtype,
                                        axis_name=axis_name, remat=self.remat)
 
@@ -228,20 +258,6 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
                  check_val_every: int = 5, log_recon_batch: int = 2):
     """Full training run; returns the final TrainState."""
     steps_per_epoch = len(train_loader)
-    trainer = Trainer(cfg=cfg, learning_rate=learning_rate, seed=seed,
-                      steps_per_epoch=steps_per_epoch, mesh=mesh,
-                      compute_dtype=compute_dtype)
-    state = trainer.init_state()
-    ckpt = CheckpointManager(save_dir, run_name, save_every_n_epochs)
-    logger = logger or MetricLogger(save_dir, run_name)
-
-    start_epoch = 0
-    if resume_path is not None:
-        state, start_epoch = ckpt.restore(resume_path, state)
-        start_epoch += 1
-        trainer.sync_host_step(state)
-        print(f"[INFO] resumed from {resume_path} at epoch {start_epoch}")
-
     max_epochs = max_epochs or cfg.training.max_epochs
     use_adv = cfg.use_adversarial
     accum = cfg.training.grad_accum_steps if cfg.training is not None else 1
@@ -262,6 +278,21 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
                 "batch size per device (per accumulation micro-batch) must "
                 "be divisible by 4! (minibatch-std group size in the "
                 "StyleGAN discriminator)")
+
+    trainer = Trainer(cfg=cfg, learning_rate=learning_rate, seed=seed,
+                      steps_per_epoch=steps_per_epoch, mesh=mesh,
+                      compute_dtype=compute_dtype,
+                      per_device_batch=per_dev)
+    state = trainer.init_state()
+    ckpt = CheckpointManager(save_dir, run_name, save_every_n_epochs)
+    logger = logger or MetricLogger(save_dir, run_name)
+
+    start_epoch = 0
+    if resume_path is not None:
+        state, start_epoch = ckpt.restore(resume_path, state)
+        start_epoch += 1
+        trainer.sync_host_step(state)
+        print(f"[INFO] resumed from {resume_path} at epoch {start_epoch}")
 
     for epoch in range(start_epoch, max_epochs):
         train_loader.set_epoch(epoch)
