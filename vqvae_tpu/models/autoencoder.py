@@ -112,15 +112,62 @@ class GroupNorm(nn.Module):
         return xf.astype(self.dtype)
 
 
+def _avg_pool_2x2(x):
+    """2x2/stride-2 average pool as reshape + same-dtype sum (exact for
+    non-overlapping windows; see Downsample)."""
+    b, h, w, c = x.shape
+    xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.sum(xw, axis=(2, 4), dtype=x.dtype) * 0.25
+
+
+class _KernelLeaf(nn.Module):
+    """Bias-free kernel param matching nn.Conv's layout, so folded convs keep
+    the conv2/Conv_0/kernel checkpoint path of the unfolded form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return self.param("kernel", conv_kernel_init,
+                          (3, 3, in_ch, self.features), jnp.float32)
+
+
+class _ConvKernel(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return _KernelLeaf(self.features, name="Conv_0")(in_ch)
+
+
+# Folding a 3x3 'SAME' correlation with an adjacent nearest/box 2x2 resample
+# into one conv: per axis the 4-tap kernel is K4 = T @ w3 with:
+_UPSAMPLE_FOLD_T = np.array([[1, 0, 0],
+                             [1, 1, 0],
+                             [0, 1, 1],
+                             [0, 0, 1]], np.float32)
+
+
 class ResBlock(nn.Module):
     """Pre-activation residual block: (GN -> SiLU -> 3x3 conv) x2, bias-free
     convs, optional 1x1 shortcut when channels change.
 
     Parity: reference autoencoder.py:42-77.
+
+    ``fold_pool=True`` additionally applies the level's trailing 2x2 average
+    pool (reference autoencoder.py:80-91) INSIDE the block, exactly:
+    ``avgpool2(conv3x3(h)) == conv4x4_stride2(h)`` with the 4x4 kernel
+    derived from the 3x3 by the same tap-merge transform as the decoder's
+    upsample fold (box filter composed per axis), and
+    ``avgpool2(conv1x1(x)) == conv1x1(avgpool2(x))`` on the shortcut. The
+    residual add then happens at half resolution. Same parameters, same
+    math, 4/9 the MXU work of the full-resolution conv2 + no standalone
+    pool ops (profiled ~10 ms/step at 256^2 b32 across the encoder).
     """
 
     out_channels: Optional[int] = None
     dtype: Dtype = jnp.float32
+    fold_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -131,6 +178,25 @@ class ResBlock(nn.Module):
         residual = Conv(out_ch, 3, use_bias=False, dtype=self.dtype, name="conv1")(residual)
 
         residual = nn.silu(GroupNorm(dtype=self.dtype, name="norm2")(residual))
+        if self.fold_pool:
+            w = _ConvKernel(out_ch, name="conv2")(residual.shape[-1])
+            t = jnp.asarray(_UPSAMPLE_FOLD_T, jnp.float32)
+            # per output pixel p: mean over d in {0,1}^2 of the 3x3 conv at
+            # 2p+d  ==  4x4 taps K4 = 0.25 * (box2 x box2) * w3
+            k4 = 0.25 * jnp.einsum("ad,be,dexy->abxy", t, t,
+                                   w.astype(jnp.float32))
+            residual = jax.lax.conv_general_dilated(
+                residual.astype(self.dtype), k4.astype(self.dtype),
+                window_strides=(2, 2),
+                padding=((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = _avg_pool_2x2(x)
+            if out_ch != in_ch:
+                x = Conv(out_ch, 1, use_bias=False, dtype=self.dtype,
+                         name="conv_shortcut")(x)
+            return x + residual
+
         residual = Conv(out_ch, 3, use_bias=False, dtype=self.dtype, name="conv2")(residual)
 
         if out_ch != in_ch:
@@ -182,15 +248,6 @@ class _UpConvParams(nn.Module):
     @nn.compact
     def __call__(self, in_ch: int):
         return _UpConvLeaf(self.features, name="Conv_0")(in_ch)
-
-
-# Folding a 3x3 'SAME' correlation over a nearest-x2 upsample into one
-# base-dilated conv: even outputs read taps {0,2} of the dilated input, odd
-# outputs taps {1,3}, so the 4-tap kernel per axis is K4 = T @ w3 with:
-_UPSAMPLE_FOLD_T = np.array([[1, 0, 0],
-                             [1, 1, 0],
-                             [0, 1, 1],
-                             [0, 0, 1]], np.float32)
 
 
 class Upsample(nn.Module):
@@ -253,8 +310,12 @@ class Encoder(nn.Module):
         for i, mult in enumerate(self.channel_multipliers):
             ch_out = self.channels * mult
             for j in range(self.num_res_blocks):
-                x = block(ch_out, dtype=self.dtype, name=f"down_{i}_block_{j}")(x)
-            x = Downsample(dtype=self.dtype, name=f"down_{i}_pool")(x)
+                # the level's trailing 2x2 avg pool (reference Downsample,
+                # autoencoder.py:80-91) is folded into the last block's conv2
+                # as one stride-2 conv — exact, checkpoint-path-preserving
+                last = j == self.num_res_blocks - 1
+                x = block(ch_out, dtype=self.dtype, fold_pool=last,
+                          name=f"down_{i}_block_{j}")(x)
 
         for j in range(self.num_res_blocks):
             x = block(dtype=self.dtype, name=f"final_block_{j}")(x)
