@@ -186,3 +186,36 @@ def test_nearest_codes_pallas_interpret():
     expected = _nearest_codes_xla(jnp.asarray(x), jnp.asarray(cb))
     got = nearest_codes_pallas(jnp.asarray(x), jnp.asarray(cb), interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_nearest_codes_stats_pallas_interpret():
+    from vqvae_tpu.ops.vq import _nearest_codes_stats_xla
+    from vqvae_tpu.ops.vq_pallas import nearest_codes_stats_pallas
+
+    rs = np.random.RandomState(12)
+    x = rs.randn(512, 128).astype(np.float32)
+    cb = rs.randn(128, 128).astype(np.float32)
+    codes_e, counts_e, dw_e = _nearest_codes_stats_xla(
+        jnp.asarray(x), jnp.asarray(cb))
+    codes, counts, dw = nearest_codes_stats_pallas(
+        jnp.asarray(x), jnp.asarray(cb), interpret=True)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes_e))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_e))
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_e),
+                               rtol=1e-5, atol=1e-5)
+    # invariants: every latent counted once; dw row-sums match x mass
+    assert float(counts.sum()) == x.shape[0]
+    np.testing.assert_allclose(np.asarray(dw).sum(0), x.sum(0), rtol=1e-4)
+
+
+def test_nearest_codes_stats_dispatcher_oracle():
+    """On CPU the dispatcher must fall back to the XLA oracle."""
+    from vqvae_tpu.ops.vq import _nearest_codes_stats_xla, nearest_codes_stats
+
+    rs = np.random.RandomState(13)
+    x = rs.randn(64, 16).astype(np.float32)
+    cb = rs.randn(32, 16).astype(np.float32)
+    got = nearest_codes_stats(jnp.asarray(x), jnp.asarray(cb))
+    exp = _nearest_codes_stats_xla(jnp.asarray(x), jnp.asarray(cb))
+    for g, e in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), rtol=1e-6)

@@ -46,6 +46,22 @@ def validate_vq_pallas(rs):
     return check("pallas VQ == XLA oracle", n_bad == 0, f"{n_bad} mismatches")
 
 
+def validate_vq_stats_pallas(rs):
+    from vqvae_tpu.ops.vq_pallas import nearest_codes_stats_pallas
+    from vqvae_tpu.ops.vq import _nearest_codes_stats_xla
+
+    x = jnp.asarray(rs.randn(4096, 256), jnp.float32)
+    cb = jnp.asarray(rs.randn(1024, 256), jnp.float32)
+    cp, np_, dwp = jax.jit(nearest_codes_stats_pallas)(x, cb)
+    cr, nr, dwr = jax.jit(_nearest_codes_stats_xla)(x, cb)
+    codes_ok = bool((np.asarray(cp) == np.asarray(cr)).all())
+    counts_ok = bool((np.asarray(np_) == np.asarray(nr)).all())
+    dw_err = float(jnp.max(jnp.abs(dwp - dwr)))
+    return check("pallas VQ+stats == XLA oracle",
+                 codes_ok and counts_ok and dw_err < 1e-3,
+                 f"codes {codes_ok}, counts {counts_ok}, dw err {dw_err:.2e}")
+
+
 def validate_folded_upsample(rs):
     from vqvae_tpu.models.autoencoder import Upsample
 
@@ -123,6 +139,7 @@ def main():
     rs = np.random.RandomState(0)
     results = [
         validate_vq_pallas(rs),
+        validate_vq_stats_pallas(rs),
         validate_folded_upsample(rs),
         validate_upfirdn_adjoint(rs),
         validate_groupnorm(rs),

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vqvae_tpu.ops.vq import nearest_codes
+from vqvae_tpu.ops.vq import nearest_codes, nearest_codes_stats
 from vqvae_tpu.models.autoencoder import conv_kernel_init, conv_bias_init_for
 
 Dtype = Any
@@ -200,14 +200,17 @@ class EMAVectorQuantizer(nn.Module):
         flat_x, (b, h, w, d) = _flatten(z)
         flat_x_sg = jax.lax.stop_gradient(flat_x)
 
-        codes = nearest_codes(flat_x_sg, codebook)
+        updating = train and self.is_mutable_collection("vq_state")
+        if updating:
+            # fused Pallas assignment + update statistics (ops/vq.py): one
+            # pass produces codes, per-code counts and per-code input sums
+            # with the distance and one-hot matrices resident in VMEM
+            codes, counts, dw = nearest_codes_stats(flat_x_sg, codebook)
+        else:
+            codes = nearest_codes(flat_x_sg, codebook)
         quantized = jnp.take(codebook, codes, axis=0)
 
-        if train and self.is_mutable_collection("vq_state"):
-            onehot = jax.nn.one_hot(codes, self.num_embeddings, dtype=jnp.float32)
-            counts = jnp.sum(onehot, axis=0)                      # (N,)
-            dw = jnp.matmul(onehot.T, flat_x_sg,                  # (N, D) MXU
-                            precision=jax.lax.Precision.HIGHEST)
+        if updating:
             batch = jnp.asarray(b, jnp.float32)
             if self.axis_name is not None:
                 counts = jax.lax.psum(counts, self.axis_name)

@@ -68,3 +68,36 @@ def _pallas_ok(flat_x, codebook) -> bool:
     m, d = flat_x.shape
     n = codebook.shape[0]
     return (m % 256 == 0) and (n % 128 == 0) and (d % 128 == 0)
+
+
+def _nearest_codes_stats_xla(flat_x, codebook):
+    """Oracle for the fused kernel: assignment + EMA update statistics."""
+    codes = _nearest_codes_xla(flat_x, codebook)
+    onehot = jax.nn.one_hot(codes, codebook.shape[0], dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    dw = jnp.matmul(onehot.T, flat_x.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    return codes, counts, dw
+
+
+def nearest_codes_stats(flat_x: jnp.ndarray, codebook: jnp.ndarray,
+                        impl: str | None = None):
+    """Nearest-code assignment fused with the codebook-update statistics.
+
+    Returns ``(codes (M,) i32, counts (N,) f32, dw (N, D) f32)`` where
+    ``counts[n]`` is the number of latents assigned to code n and ``dw[n]``
+    their sum — the EMA quantizer's update inputs. The Pallas path keeps the
+    distance AND one-hot matrices in VMEM; the XLA oracle materializes the
+    (M, N) one-hot in HBM. Dispatch rules match ``nearest_codes``, plus a
+    VMEM-footprint gate for the fused kernel's resident codebook/dw blocks.
+    """
+    impl = impl or os.environ.get(_IMPL_ENV, "auto")
+    if impl != "xla" and _pallas_ok(flat_x, codebook):
+        from vqvae_tpu.ops.vq_pallas import (
+            TILE_M, nearest_codes_stats_pallas, vq_stats_vmem_bytes)
+        m, d = flat_x.shape
+        n = codebook.shape[0]
+        if (impl == "pallas"
+                or vq_stats_vmem_bytes(TILE_M, n, d) < 12 * 1024 * 1024):
+            return nearest_codes_stats_pallas(flat_x, codebook)
+    return _nearest_codes_stats_xla(flat_x, codebook)
