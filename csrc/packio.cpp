@@ -77,10 +77,13 @@ void* packio_open(const char* path) {
   r->header = reinterpret_cast<const Header*>(r->data);
   // validate structure against the real file size: a truncated/corrupt
   // .pack must fail open() cleanly, not SIGSEGV in a later memcpy
+  // overflow-safe: count * sizeof(IndexEntry) can wrap uint64 for a corrupt
+  // header, so bound count by the space actually available instead
   bool ok = static_cast<size_t>(st.st_size) >= sizeof(Header) &&
             r->header->magic == kMagic && r->header->version == 1 &&
-            static_cast<size_t>(st.st_size) >=
-                sizeof(Header) + r->header->count * sizeof(IndexEntry);
+            r->header->count <=
+                (static_cast<size_t>(st.st_size) - sizeof(Header)) /
+                    sizeof(IndexEntry);
   if (ok) {
     r->index = reinterpret_cast<const IndexEntry*>(r->data + sizeof(Header));
     for (uint64_t i = 0; i < r->header->count; ++i) {

@@ -35,21 +35,6 @@ def parse_args():
     return parser.parse_args()
 
 
-def _local_rows(arr):
-    """Host-local rows of a (possibly multi-process) sharded array.
-
-    np.asarray on an array spanning non-addressable devices raises; each
-    host's addressable shards are exactly its own loader's rows in order
-    (the make_array_from_process_local_data contract in shard_batch)."""
-    import jax
-    import numpy as np
-    if jax.process_count() == 1:
-        return np.asarray(arr)
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
-
-
 def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
     """Run the test metric suite; returns a dict of results.
 
@@ -62,6 +47,7 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
     from vqvae_tpu.eval.fid import FID, load_inception_extractor
     from vqvae_tpu.eval.metrics import ReconMetrics
     from vqvae_tpu.models.quantizers import get_codebook_usage
+    from vqvae_tpu.parallel.mesh import local_rows as _local_rows
 
     recon_metrics = ReconMetrics(data_range=1.0)
     extractor, feat_dim = load_inception_extractor()

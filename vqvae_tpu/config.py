@@ -131,6 +131,10 @@ def parse_config(raw: dict) -> Config:
         num_res_blocks=int(ae["num_res_blocks"]),
         channel_multipliers=tuple(int(m) for m in ae["channel_multipliers"]),
     )
+    if ae_conf.num_res_blocks < 1:
+        raise ValueError(
+            f"num_res_blocks must be >= 1, got {ae_conf.num_res_blocks} "
+            "(each encoder level's downsample is carried by its last block)")
 
     q = raw["quantizer"]
     q_conf = QuantizerConf(

@@ -118,10 +118,12 @@ class Loader:
         order = self._order()
         n_batches = len(self)
         bs = self.batch_size
-        # vectorized batch fetch when the dataset supports it (PackedDataset's
-        # native reader decodes a whole batch in one C++ call with its own
-        # thread pool; per-__getitem__ fetches would leave it single-threaded)
-        batched = hasattr(self.dataset, "read_batch")
+        # vectorized batch fetch only for the NATIVE packed reader (one C++
+        # call per batch with its own thread pool). The pure-Python packed
+        # fallback decodes read_batch sequentially — for it (and image
+        # folders) the threaded per-item path parallelizes decode instead.
+        batched = (hasattr(self.dataset, "read_batch")
+                   and getattr(self.dataset, "is_native", False))
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -113,8 +113,14 @@ class GroupNorm(nn.Module):
 
 
 def _avg_pool_2x2(x):
-    """2x2/stride-2 average pool as reshape + same-dtype sum (exact for
-    non-overlapping windows; see Downsample)."""
+    """2x2/stride-2 average pool as reshape + same-dtype sum.
+
+    Exact for non-overlapping windows. The forward avoids jnp.mean's f32
+    upcast of the windowed tensor; the backward is a single broadcast (XLA's
+    reduce-window gradient emits large standalone broadcasts, and the
+    strided four-slice form profiled 4x worse — its backward pad-scatters
+    the full tensor once per phase). Shared by the Downsample module and the
+    fold_pool shortcut path."""
     b, h, w, c = x.shape
     xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.sum(xw, axis=(2, 4), dtype=x.dtype) * 0.25
@@ -208,22 +214,16 @@ class ResBlock(nn.Module):
 class Downsample(nn.Module):
     """2x2 average pooling, stride 2 (reference autoencoder.py:80-91).
 
-    Implemented as reshape + mean (exact for non-overlapping windows):
-    XLA's reduce-window gradient emits large standalone broadcast ops on TPU,
-    while the reshape form fuses into neighbouring elementwise work.
+    See _avg_pool_2x2 for the reshape-based implementation rationale. Inside
+    the Encoder this is folded into the preceding conv (ResBlock.fold_pool);
+    the module remains as the standalone parity surface.
     """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # reshape + same-dtype sum: forward avoids jnp.mean's f32 upcast of
-        # the windowed tensor; backward is a single broadcast (the strided
-        # four-slice form profiled 4x worse — its backward pad-scatters the
-        # full tensor once per phase)
-        b, h, w, c = x.shape
-        xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        return jnp.sum(xw, axis=(2, 4), dtype=x.dtype) * 0.25
+        return _avg_pool_2x2(x)
 
 
 class _UpConvLeaf(nn.Module):

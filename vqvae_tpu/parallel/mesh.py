@@ -75,3 +75,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_rows(arr) -> np.ndarray:
+    """Host-local rows of a (possibly multi-process) batch-sharded array.
+
+    ``np.asarray`` on an array spanning non-addressable devices raises; each
+    host's addressable shards are exactly its own loader's rows, in order
+    (the make_array_from_process_local_data contract in shard_batch)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -31,7 +31,7 @@ from vqvae_tpu.models.preprocess import denormalize
 from vqvae_tpu.models.quantizers import (
     get_codebook_usage, reinit_unused_codes, reinit_unused_codes_ema)
 from vqvae_tpu.models.vqvae import VQVAE, model_rngs
-from vqvae_tpu.parallel.mesh import create_mesh, shard_batch
+from vqvae_tpu.parallel.mesh import create_mesh, local_rows, shard_batch
 from vqvae_tpu.train.optim import make_ae_optimizer, make_disc_optimizer
 from vqvae_tpu.train.schedules import build_gumbel_schedules, build_lr_schedule
 from vqvae_tpu.train.state import TrainState, create_train_state
@@ -306,7 +306,7 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
             if batch_index == log_recon_batch and epoch % 5 == 0:
                 _, _, recons = trainer.eval_step(state, batch, epoch)
                 panel = make_recon_panel(_to_float01(batch["image"]),
-                                         np.asarray(recons))
+                                         local_rows(recons))
                 logger.log_images(panel, int(state.step),
                                   "train/reconstructions")
 
@@ -353,7 +353,7 @@ def run_validation(trainer, state, val_loader, epoch, logger=None,
             sums[k] = sums.get(k, 0.0) + float(v) * n
         if batch_index == log_recon_batch and logger is not None:
             panel = make_recon_panel(_to_float01(batch["image"]),
-                                     np.asarray(recons))
+                                     local_rows(recons))
             logger.log_images(panel, int(state.step),
                               "validation/reconstructions")
     mean = {k: v / max(total_n, 1.0) for k, v in sums.items()}
