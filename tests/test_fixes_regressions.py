@@ -129,3 +129,36 @@ def test_zero_usage_histogram_does_not_nan():
     assert np.all(np.isfinite(np.asarray(probs)))
     assert float(perplexity) == pytest.approx(1.0)
     assert float(used) == 0.0
+
+
+def test_remat_estimate_calibration():
+    """Pin the auto-remat memory model to its v5e-measured anchor points
+    (PERFORMANCE.md): flagship 256^2 b32 GAN fits without remat, b48/b64 do
+    not, and grad accumulation gates on the micro-batch."""
+    from vqvae_tpu.train.loop import estimate_activation_gb
+    raw = {
+        "image_size": 256,
+        "autoencoder": {"channels": 128, "num_res_blocks": 2,
+                        "channel_multipliers": [1, 2, 2, 4]},
+        "quantizer": {"type": "gumbel", "num_embeddings": 1024,
+                      "embedding_dim": 256, "reinit_every_n_epochs": None,
+                      "params": {"straight_through": False, "temp": 1.0,
+                                 "kl_cost": 0.01, "kl_warmup_epochs": 0.5,
+                                 "temp_decay_epochs": 2, "temp_final": 0.06}},
+        "loss": {"l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": 1.0,
+                 "adversarial_params": {"start_epoch": 0,
+                                        "loss_type": "non-saturating",
+                                        "g_weight": 0.1, "use_adaptive": False,
+                                        "r1_reg_weight": 10.0,
+                                        "r1_reg_every": 16}},
+        "training": {"cumulative_bs": 256, "base_lr": 1e-4,
+                     "betas": [0.0, 0.99], "eps": 1e-8, "weight_decay": 1e-4,
+                     "decay_epochs": 250, "max_epochs": 300},
+    }
+    cfg = parse_config(raw)
+    assert estimate_activation_gb(cfg, 32) < 12.0       # fits: remat off
+    assert estimate_activation_gb(cfg, 48) > 12.0       # over: remat on
+    assert estimate_activation_gb(cfg, 64) > 12.0
+    raw["training"]["grad_accum_steps"] = 8
+    cfg8 = parse_config(raw)
+    assert estimate_activation_gb(cfg8, 256) < 12.0     # micro-batch 32
