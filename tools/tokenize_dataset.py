@@ -57,7 +57,6 @@ def main():
     from vqvae_tpu.config import load_config
     from vqvae_tpu.data.dataset import Loader, ImageFolderDataset
     from vqvae_tpu.data.packed import PackedDataset
-    from vqvae_tpu.models.vqvae import VQVAE
     from vqvae_tpu.train.loop import Trainer
     from vqvae_tpu.utils.checkpoint import restore_for_eval
 

@@ -18,7 +18,6 @@ Differences from the reference, by design (TPU-native):
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def parse_args():

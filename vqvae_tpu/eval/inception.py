@@ -20,7 +20,6 @@ All convs run in fp32 (FID is precision-sensitive).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

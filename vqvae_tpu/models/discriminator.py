@@ -28,7 +28,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from vqvae_tpu.ops.bias_act import activation_funcs, bias_act

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from vqvae_tpu.config import Config
 from vqvae_tpu.models.autoencoder import Decoder, Encoder
-from vqvae_tpu.models.preprocess import denormalize, normalize, preprocess_batch
+from vqvae_tpu.models.preprocess import denormalize, preprocess_batch
 from vqvae_tpu.models.quantizers import codes_to_vec, make_quantizer
 
 Dtype = Any

@@ -12,11 +12,8 @@ Weights are HWIO. ``flip_weight=True`` = correlation (torch conv semantics).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vqvae_tpu.ops.upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
 

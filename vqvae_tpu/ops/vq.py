@@ -13,7 +13,6 @@ Note ``|x|^2`` is constant across codes, so the argmin only needs
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -27,11 +27,10 @@ import numpy as np
 from vqvae_tpu.config import Config
 from vqvae_tpu.models.discriminator import Discriminator
 from vqvae_tpu.models.lpips import init_lpips
-from vqvae_tpu.models.preprocess import denormalize
 from vqvae_tpu.models.quantizers import (
     get_codebook_usage, reinit_unused_codes, reinit_unused_codes_ema)
 from vqvae_tpu.models.vqvae import VQVAE, model_rngs
-from vqvae_tpu.parallel.mesh import create_mesh, local_rows, shard_batch
+from vqvae_tpu.parallel.mesh import local_rows, shard_batch
 from vqvae_tpu.train.optim import make_ae_optimizer, make_disc_optimizer
 from vqvae_tpu.train.schedules import build_gumbel_schedules, build_lr_schedule
 from vqvae_tpu.train.state import TrainState, create_train_state

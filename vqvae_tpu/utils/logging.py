@@ -7,7 +7,6 @@ model.py:442-456 reconstruction image panels).
 
 from __future__ import annotations
 
-import csv
 import json
 import time
 from pathlib import Path
