@@ -325,3 +325,27 @@ def test_grad_accumulation_gan_runs():
     state, metrics = trainer.train_step(state, batch, epoch=0)  # plain step
     assert float(metrics["r1_penalty"]) == 0.0
     assert float(metrics["disc_loss"]) != 0.0
+
+
+def test_training_is_deterministic():
+    """Same seed + same data -> identical first-step metrics and params
+    across two fresh Trainers (the reference's pl.seed_everything +
+    deterministic=True contract, train.py:67,130)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg("standard")
+    images = np.random.RandomState(3).randint(0, 255, (8, 16, 16, 3), np.uint8)
+
+    outs = []
+    for _ in range(2):
+        tr = Trainer(cfg=cfg, learning_rate=1e-4, seed=123, steps_per_epoch=4,
+                     mesh=None, compute_dtype=jnp.float32, remat=False)
+        state = tr.init_state()
+        state, metrics = tr.train_step(state, {"image": images}, epoch=0)
+        outs.append((jax.tree.map(np.asarray, state.params),
+                     {k: float(v) for k, v in metrics.items()}))
+    (p1, m1), (p2, m2) = outs
+    assert m1 == m2
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
