@@ -98,3 +98,25 @@ def test_l1_l2():
     b = jnp.zeros((2, 2))
     assert float(l1_loss(a, b)) == pytest.approx(2.0)
     assert float(l2_loss(a, b)) == pytest.approx(4.0)
+
+
+def test_per_sample_losses_mean_to_scalar():
+    """The masked-eval per-sample helpers must average to the scalar
+    training losses for every loss_type."""
+    from vqvae_tpu.losses.losses import (
+        discriminator_loss, discriminator_loss_per_sample,
+        generator_loss, generator_loss_per_sample)
+
+    rs = np.random.RandomState(0)
+    lf = jnp.asarray(rs.randn(8, 1), jnp.float32)
+    lr = jnp.asarray(rs.randn(8, 1), jnp.float32)
+    for lt in ("hinge", "non-saturating"):
+        g_per = generator_loss_per_sample(lf, lt)
+        assert g_per.shape == (8,)
+        np.testing.assert_allclose(float(jnp.mean(g_per)),
+                                   float(generator_loss(lf, lt)), rtol=1e-6)
+        d_per = discriminator_loss_per_sample(lr, lf, lt)
+        assert d_per.shape == (8,)
+        np.testing.assert_allclose(float(jnp.mean(d_per)),
+                                   float(discriminator_loss(lr, lf, lt)),
+                                   rtol=1e-6)
