@@ -15,3 +15,17 @@ capability surface of SerezD/vqvae-vqgan-pytorch-lightning:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keep `import vqvae_tpu` light)."""
+    if name in ("VQVAE", "model_rngs"):
+        from vqvae_tpu.models import vqvae
+        return getattr(vqvae, name)
+    if name in ("Config", "load_config", "parse_config"):
+        from vqvae_tpu import config
+        return getattr(config, name)
+    if name == "Trainer":
+        from vqvae_tpu.train.loop import Trainer
+        return Trainer
+    raise AttributeError(f"module 'vqvae_tpu' has no attribute {name!r}")
