@@ -190,3 +190,38 @@ def test_codes_to_vec():
     v = codes_to_vec(jnp.asarray(cb), codes)
     assert v.shape == (2, 2, D)
     np.testing.assert_allclose(np.asarray(v[0, 1]), cb[5])
+
+
+def test_reinit_noise_scale_breaks_exact_copies():
+    """noise_scale=0 -> exact reference copies; >0 -> near-but-distinct rows
+    (an exact copy ties with its source under argmin and can never win)."""
+    import jax
+    from vqvae_tpu.models.quantizers import (
+        reinit_unused_codes, reinit_unused_codes_ema)
+
+    rs = np.random.RandomState(0)
+    cb = jnp.asarray(rs.randn(8, 4), jnp.float32)
+    usage = jnp.array([4., 0., 3., 0., 1., 2., 0., 6.])
+    probs = usage / usage.sum()
+    rng = jax.random.PRNGKey(1)
+
+    exact = np.asarray(reinit_unused_codes(cb, probs, rng, noise_scale=0.0))
+    noisy = np.asarray(reinit_unused_codes(cb, probs, rng, noise_scale=0.05))
+    dead = np.array([1, 3, 6])
+    live = np.array([0, 2, 4, 5, 7])
+    # live rows untouched in both
+    np.testing.assert_array_equal(exact[live], np.asarray(cb)[live])
+    np.testing.assert_array_equal(noisy[live], np.asarray(cb)[live])
+    # exact copies come from the live set; noisy rows are near but distinct
+    for r in dead:
+        assert any(np.array_equal(exact[r], np.asarray(cb)[s]) for s in live)
+        assert not any(np.array_equal(noisy[r], np.asarray(cb)[s]) for s in live)
+        assert np.min(np.linalg.norm(np.asarray(cb)[live] - noisy[r], axis=1)) < 1.0
+
+    # EMA variant stays accumulator-consistent with noise
+    count = jnp.asarray(rs.rand(8) + 0.5, jnp.float32)
+    weight = cb * count[:, None]
+    ncb, nw, nc = reinit_unused_codes_ema(cb, weight, count, probs, rng,
+                                          noise_scale=0.05)
+    derived = np.asarray(nw) / np.asarray(nc)[:, None]
+    np.testing.assert_allclose(derived[dead], np.asarray(ncb)[dead], rtol=1e-5)

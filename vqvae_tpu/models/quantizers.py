@@ -73,22 +73,44 @@ def get_codebook_usage(index_count: jnp.ndarray):
     return probs, perplexity, used_pct
 
 
-def reinit_unused_codes(codebook: jnp.ndarray, usage_probs: jnp.ndarray,
-                        rng: jax.Array) -> jnp.ndarray:
-    """Re-initialize unused codebook rows by resampling rows from the usage
-    distribution (reference base_quantizer.py:81-102), as a pure function.
-    """
+def _reinit_rows(codebook, usage_probs, rng, noise_scale):
+    """(unused mask, candidate replacement rows) for dead-code re-init.
+
+    ``noise_scale > 0`` perturbs each resampled row by gaussian noise scaled
+    by the per-dimension codebook std. This is an opt-in IMPROVEMENT over
+    the reference: its exact-copy resampling (base_quantizer.py:96-102)
+    cannot revive a plain-VQ code — the copy ties with its source under
+    argmin, loses, therefore receives no gradient, and stays dead forever.
+    Noise breaks the tie and gives the optimizer a direction. Default 0.0 =
+    exact reference behavior."""
     n = usage_probs.shape[0]
     unused = usage_probs == 0.0
     # sample a replacement row for every slot (static shape); only unused rows use it
     logits = jnp.log(usage_probs + 1e-30)
-    replacements = jax.random.categorical(rng, logits, shape=(n,))
-    return jnp.where(unused[:, None], codebook[replacements], codebook)
+    rng_pick, rng_noise = jax.random.split(rng)
+    replacements = jax.random.categorical(rng_pick, logits, shape=(n,))
+    rows = codebook[replacements]
+    if noise_scale:
+        std = jnp.std(codebook, axis=0, keepdims=True)
+        rows = rows + noise_scale * std * jax.random.normal(
+            rng_noise, rows.shape, rows.dtype)
+    return unused, rows
+
+
+def reinit_unused_codes(codebook: jnp.ndarray, usage_probs: jnp.ndarray,
+                        rng: jax.Array,
+                        noise_scale: float = 0.0) -> jnp.ndarray:
+    """Re-initialize unused codebook rows by resampling rows from the usage
+    distribution (reference base_quantizer.py:81-102), as a pure function.
+    See _reinit_rows for the opt-in ``noise_scale``.
+    """
+    unused, rows = _reinit_rows(codebook, usage_probs, rng, noise_scale)
+    return jnp.where(unused[:, None], rows, codebook)
 
 
 def reinit_unused_codes_ema(codebook: jnp.ndarray, ema_weight: jnp.ndarray,
                             ema_count: jnp.ndarray, usage_probs: jnp.ndarray,
-                            rng: jax.Array):
+                            rng: jax.Array, noise_scale: float = 0.0):
     """Dead-code reinit for the EMA quantizer: resample codebook rows AND the
     EMA accumulators they are derived from.
 
@@ -101,14 +123,24 @@ def reinit_unused_codes_ema(codebook: jnp.ndarray, ema_weight: jnp.ndarray,
     replacement rows' ``ema_weight``/``ema_count`` are copied too, so the
     reinitialized vector survives: w = ema_weight[r]/ema_count[r] =
     codebook[r] by construction. Deliberate fix, recorded in PARITY §2.4.
+    ``noise_scale`` perturbs the resampled vector (see _reinit_rows); the
+    accumulators are kept consistent (ema_weight = vector * ema_count).
     """
     n = usage_probs.shape[0]
-    unused = usage_probs == 0.0
     logits = jnp.log(usage_probs + 1e-30)
-    replacements = jax.random.categorical(rng, logits, shape=(n,))
-    pick = lambda arr: jnp.where(unused[:, None] if arr.ndim == 2 else unused,
-                                 arr[replacements], arr)
-    return pick(codebook), pick(ema_weight), pick(ema_count)
+    rng_pick, rng_noise = jax.random.split(rng)
+    replacements = jax.random.categorical(rng_pick, logits, shape=(n,))
+    unused = usage_probs == 0.0
+    rows = codebook[replacements]
+    if noise_scale:
+        std = jnp.std(codebook, axis=0, keepdims=True)
+        rows = rows + noise_scale * std * jax.random.normal(
+            rng_noise, rows.shape, rows.dtype)
+    new_count = jnp.where(unused, ema_count[replacements], ema_count)
+    new_cb = jnp.where(unused[:, None], rows, codebook)
+    new_weight = jnp.where(unused[:, None], rows * new_count[:, None],
+                           ema_weight)
+    return new_cb, new_weight, new_count
 
 
 def count_code_usage(codes: jnp.ndarray, num_embeddings: int,

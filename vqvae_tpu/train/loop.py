@@ -228,19 +228,24 @@ class Trainer:
             return state
         probs, _, _ = get_codebook_usage(state.usage_count)
         rng = jax.random.fold_in(state.rng, 7919 + epoch)
+        # opt-in perturbation of resampled rows: the reference's exact-copy
+        # resampling cannot revive a plain-VQ code (the copy ties with its
+        # source under argmin and never receives gradient); default 0.0
+        noise = float(self.cfg.quantizer.params.get("reinit_noise_scale", 0.0))
         if self.cfg.quantizer.type == "ema":
             # must also reinit the EMA accumulators, or the next step's
             # codebook = ema_weight/ema_count restores the dead rows (the
             # reference has this exact no-op; see reinit_unused_codes_ema)
             q = state.vq_state["quantizer"]
             new_cb, new_w, new_c = reinit_unused_codes_ema(
-                q["codebook"], q["ema_weight"], q["ema_count"], probs, rng)
+                q["codebook"], q["ema_weight"], q["ema_count"], probs, rng,
+                noise_scale=noise)
             vq = dict(state.vq_state)
             vq["quantizer"] = dict(q, codebook=new_cb, ema_weight=new_w,
                                    ema_count=new_c)
             return state.replace(vq_state=vq)
         cb = state.params["quantizer"]["codebook"]
-        new_cb = reinit_unused_codes(cb, probs, rng)
+        new_cb = reinit_unused_codes(cb, probs, rng, noise_scale=noise)
         params = dict(state.params)
         params["quantizer"] = dict(params["quantizer"], codebook=new_cb)
         return state.replace(params=params)
