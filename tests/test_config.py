@@ -69,3 +69,17 @@ def test_reference_yaml_schema_loads():
         if "vqgan" in os.path.basename(path):
             assert cfg.use_adversarial
             assert cfg.loss.adversarial.start_epoch == 100
+
+
+def test_local_example_confs_load():
+    """Every config shipped in example_confs/ must parse."""
+    import glob
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    confs = sorted(glob.glob(os.path.join(here, "example_confs", "*.yaml")))
+    assert len(confs) >= 6, confs
+    for path in confs:
+        cfg = load_config(path)
+        assert cfg.image_size == 256
+        if "1chip" in os.path.basename(path):
+            assert cfg.training.grad_accum_steps == 8
