@@ -121,3 +121,31 @@ def test_truncated_pack_rejected_by_native_reader(tmp_path):
     assert not ds.is_native
     with pytest.raises(Exception):
         ds.read_batch(np.arange(4))
+
+
+def test_eval_sharding_is_lossless(image_folder):
+    """keep_last (eval) sharding covers EVERY image exactly once across hosts
+    for a dataset size not divisible by the host count (12 images, 5 hosts):
+    the global order is padded with -1 sentinels that become zeroed
+    mask=False rows, and all hosts still see identical batch counts."""
+    ds = ImageFolderDataset(str(image_folder), 16)
+    n = len(ds)
+    count = 5
+    loaders = [Loader(ds, batch_size=2, shuffle=False, drop_last=False,
+                      shard_rank=r, shard_count=count) for r in range(count)]
+    assert len({len(l) for l in loaders}) == 1  # lockstep batch counts
+
+    orders = [l._order() for l in loaders]
+    assert len({len(o) for o in orders}) == 1  # equal slot counts
+    valid = np.concatenate(orders)
+    valid = valid[valid >= 0]
+    assert sorted(valid.tolist()) == list(range(n))  # every image, once
+
+    # sentinel slots materialize as zeroed mask=False rows
+    n_valid = 0
+    for loader in loaders:
+        for batch in loader:
+            assert batch["image"].shape[0] == 2  # static shape
+            assert (batch["image"][~batch["mask"]] == 0).all()
+            n_valid += int(batch["mask"].sum())
+    assert n_valid == n

@@ -225,3 +225,46 @@ def test_reinit_noise_scale_breaks_exact_copies():
                                           noise_scale=0.05)
     derived = np.asarray(nw) / np.asarray(nc)[:, None]
     np.testing.assert_allclose(derived[dead], np.asarray(ncb)[dead], rtol=1e-5)
+
+
+def test_masked_loss_equals_unpadded():
+    """Quantizer loss with mask over a zero-padded batch == the loss of the
+    valid rows alone (the eval contract for partial final batches). For
+    gumbel only the (noise-free) KL loss is comparable across batch shapes;
+    for the entropy quantizer this also pins the batch-coupled avg_entropy
+    term to the masked distribution."""
+    rs = np.random.RandomState(7)
+    z_valid = rs.randn(2, H, W, D).astype(np.float32)
+    z_pad = np.concatenate([z_valid, np.zeros((2, H, W, D), np.float32)])
+    mask = jnp.asarray([True, True, False, False])
+
+    for q in [VectorQuantizer(N, D, commitment_cost=0.25),
+              EMAVectorQuantizer(N, D, commitment_cost=0.25),
+              EntropyVectorQuantizer(N, D, ent_loss_ratio=0.1,
+                                     ent_temperature=0.05,
+                                     ent_loss_type="softmax")]:
+        variables = q.init(jax.random.PRNGKey(0), jnp.asarray(z_valid))
+        _, _, loss_valid = q.apply(variables, jnp.asarray(z_valid))
+        _, _, loss_masked = q.apply(variables, jnp.asarray(z_pad), mask=mask)
+        np.testing.assert_allclose(np.asarray(loss_masked),
+                                   np.asarray(loss_valid), rtol=1e-5,
+                                   err_msg=type(q).__name__)
+        # without the mask the padded rows bias the loss (regression guard)
+        _, _, loss_unmasked = q.apply(variables, jnp.asarray(z_pad))
+        assert not np.allclose(np.asarray(loss_unmasked),
+                               np.asarray(loss_valid), rtol=1e-3)
+
+    # gumbel: the KL term is sampling-free, so masked == unpadded exactly
+    qg = GumbelVectorQuantizer(N, D, straight_through=False, temp=1.0,
+                               kl_cost=1.0)
+    zg_valid = rs.randn(2, H, W, N).astype(np.float32)
+    zg_pad = np.concatenate([zg_valid, np.zeros((2, H, W, N), np.float32)])
+    variables = qg.init({"params": jax.random.PRNGKey(0),
+                         "gumbel": jax.random.PRNGKey(1)},
+                        jnp.asarray(zg_valid))
+    rngs = {"gumbel": jax.random.PRNGKey(2)}
+    _, _, kl_valid = qg.apply(variables, jnp.asarray(zg_valid), rngs=rngs)
+    _, _, kl_masked = qg.apply(variables, jnp.asarray(zg_pad), mask=mask,
+                               rngs=rngs)
+    np.testing.assert_allclose(np.asarray(kl_masked), np.asarray(kl_valid),
+                               rtol=1e-5)

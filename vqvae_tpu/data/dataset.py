@@ -84,15 +84,25 @@ class Loader:
         self.prefetch = prefetch
         self.epoch = 0
         # multi-host sharding: host r iterates samples r::count of the
-        # (identically seeded) global order, truncated to the same length on
-        # every host so per-step collectives stay in lockstep. Without this
-        # every host would feed the SAME rows and the global batch would be
+        # (identically seeded) global order, equal-length on every host so
+        # per-step collectives stay in lockstep. Without this every host
+        # would feed the SAME rows and the global batch would be
         # `shard_count` duplicates of one per-host batch.
+        #
+        # drop_last (train): truncate to n // shard_count per host.
+        # keep_last (eval): pad the GLOBAL order to a multiple of shard_count
+        # with sentinel -1 rows (zero image, mask=False) so EVERY image is
+        # evaluated exactly once on exactly one host — unlike the reference's
+        # single-GPU eval (evaluate.py:56) this loses nothing at any host
+        # count / dataset size.
         self.shard_rank = int(shard_rank)
         self.shard_count = max(1, int(shard_count))
 
     def _shard_len(self) -> int:
-        return len(self.dataset) // self.shard_count
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.shard_count
+        return -(-n // self.shard_count)  # ceil: padded, lossless
 
     def __len__(self) -> int:
         n = self._shard_len()
@@ -109,9 +119,20 @@ class Loader:
         else:
             order = np.arange(n)
         if self.shard_count > 1:
-            # same truncated length on every host (drops n % shard_count
-            # tail samples; for eval this loses at most shard_count-1 images)
-            order = order[self.shard_rank::self.shard_count][:self._shard_len()]
+            if self.drop_last:
+                # same truncated length on every host (train: the final
+                # partial batch is dropped anyway)
+                order = order[self.shard_rank::self.shard_count][:self._shard_len()]
+            else:
+                # lossless eval sharding: pad the global order with -1
+                # sentinels to shard_count * ceil(n / shard_count), then
+                # stride — every host sees the same number of slots, padded
+                # slots become mask=False rows
+                total = self._shard_len() * self.shard_count
+                if total > n:
+                    order = np.concatenate(
+                        [order, np.full(total - n, -1, order.dtype)])
+                order = order[self.shard_rank::self.shard_count]
         return order
 
     def __iter__(self) -> Iterator[dict]:
@@ -140,13 +161,18 @@ class Loader:
                     continue
             return False
 
-        def _make_batch(imgs_list):
-            mask = np.ones((bs,), bool)
+        def _make_batch(imgs_list, valid):
+            # valid: per-fetched-row validity (False for -1 sentinel slots of
+            # the lossless multi-host padding); short final batches are
+            # additionally zero-padded to the static batch size
+            mask = np.zeros((bs,), bool)
+            mask[:len(imgs_list)] = valid
             if len(imgs_list) < bs:
                 pad = bs - len(imgs_list)
-                mask[len(imgs_list):] = False
                 imgs_list = list(imgs_list) + [np.zeros_like(imgs_list[0])] * pad
-            return {"image": np.stack(imgs_list), "mask": mask}
+            images = np.stack(imgs_list)
+            images[~mask] = 0
+            return {"image": images, "mask": mask}
 
         def produce():
             # exceptions (corrupt image, truncated pack file, ...) are
@@ -158,17 +184,21 @@ class Loader:
                         if stop.is_set():
                             return
                         idx = np.asarray(order[b * bs:(b + 1) * bs], np.int64)
-                        imgs = list(self.dataset.read_batch(idx))
-                        if not _put(("batch", _make_batch(imgs))):
+                        valid = idx >= 0
+                        imgs = list(self.dataset.read_batch(
+                            np.where(valid, idx, 0)))
+                        if not _put(("batch", _make_batch(imgs, valid))):
                             return
                 else:
                     with ThreadPoolExecutor(self.num_workers) as pool:
                         for b in range(n_batches):
                             if stop.is_set():
                                 return
-                            idx = order[b * bs:(b + 1) * bs]
-                            imgs = list(pool.map(self.dataset.__getitem__, idx))
-                            if not _put(("batch", _make_batch(imgs))):
+                            idx = np.asarray(order[b * bs:(b + 1) * bs])
+                            valid = idx >= 0
+                            imgs = list(pool.map(self.dataset.__getitem__,
+                                                 np.where(valid, idx, 0)))
+                            if not _put(("batch", _make_batch(imgs, valid))):
                                 return
             except BaseException as exc:  # noqa: BLE001 — forwarded, re-raised
                 _put(("error", exc))

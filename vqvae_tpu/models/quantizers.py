@@ -56,6 +56,26 @@ def _flatten(z: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, int, int, int]]:
     return z.reshape(b * h * w, d), (b, h, w, d)
 
 
+def _row_weights(mask: Optional[jnp.ndarray], hw: int) -> Optional[jnp.ndarray]:
+    """(B,) bool sample mask -> (B*hw,) float row weights for flattened
+    latents, or None. Used by eval to exclude zero-padded rows of a partial
+    final batch from the quantizer loss (the reference never pads batches;
+    torch dynamic shapes, datamodules.py:57-76)."""
+    if mask is None:
+        return None
+    return jnp.repeat(mask.astype(jnp.float32), hw, total_repeat_length=mask.shape[0] * hw)
+
+
+def _wmean(x: jnp.ndarray, w: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean of x over all elements; with w=(M,) row weights, the mean over
+    elements of nonzero-weight rows only (x leading axis M)."""
+    if w is None:
+        return jnp.mean(x)
+    wb = w.reshape((-1,) + (1,) * (x.ndim - 1))
+    denom = jnp.sum(w) * (x.size // x.shape[0])
+    return jnp.sum(x * wb) / jnp.maximum(denom, 1.0)
+
+
 def codes_to_vec(codebook: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     """Lookup codes (B, S) -> (B, S, D) (reference base_quantizer.py:53-61)."""
     return jnp.take(codebook, codes, axis=0)
@@ -169,17 +189,18 @@ class VectorQuantizer(nn.Module):
     commitment_cost: float = 0.25
 
     @nn.compact
-    def __call__(self, z, train: bool = False):
+    def __call__(self, z, train: bool = False, mask=None):
         codebook = self.param("codebook", codebook_init(self.num_embeddings),
                               (self.num_embeddings, self.embedding_dim), jnp.float32)
         flat_x, (b, h, w, d) = _flatten(z)
+        rw = _row_weights(mask, h * w)
 
         codes = nearest_codes(flat_x, codebook)
         quantized = jnp.take(codebook, codes, axis=0)
 
-        e_loss = self.commitment_cost * jnp.mean(
-            (jax.lax.stop_gradient(quantized) - flat_x) ** 2)
-        q_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat_x)) ** 2)
+        e_loss = self.commitment_cost * _wmean(
+            (jax.lax.stop_gradient(quantized) - flat_x) ** 2, rw)
+        q_loss = _wmean((quantized - jax.lax.stop_gradient(flat_x)) ** 2, rw)
 
         quantized = flat_x + jax.lax.stop_gradient(quantized - flat_x)
         quantized = quantized.reshape(b, h, w, d)
@@ -215,7 +236,7 @@ class EMAVectorQuantizer(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, z, train: bool = False):
+    def __call__(self, z, train: bool = False, mask=None):
         init = codebook_init(self.num_embeddings)
         codebook_v = self.variable(
             "vq_state", "codebook",
@@ -260,8 +281,9 @@ class EMAVectorQuantizer(nn.Module):
             ema_weight_v.value = ema_weight
             codebook_v.value = ema_weight / ema_count[:, None]
 
-        e_loss = self.commitment_cost * jnp.mean(
-            (jax.lax.stop_gradient(quantized) - flat_x) ** 2)
+        e_loss = self.commitment_cost * _wmean(
+            (jax.lax.stop_gradient(quantized) - flat_x) ** 2,
+            _row_weights(mask, h * w))
 
         quantized = flat_x + jax.lax.stop_gradient(quantized - flat_x)
         quantized = quantized.reshape(b, h, w, d)
@@ -300,7 +322,8 @@ class GumbelVectorQuantizer(nn.Module):
     kl_cost: float = 5e-4
 
     @nn.compact
-    def __call__(self, z, train: bool = False, temp=None, kl_cost=None, rng=None):
+    def __call__(self, z, train: bool = False, temp=None, kl_cost=None,
+                 rng=None, mask=None):
         n = self.num_embeddings
         codebook = self.param("codebook", codebook_init(n),
                               (n, self.embedding_dim), jnp.float32)
@@ -332,8 +355,9 @@ class GumbelVectorQuantizer(nn.Module):
 
         # KL(q || uniform) to spread codebook usage
         qy = jax.nn.softmax(logits, axis=-1)
-        kl_loss = kl_cost * jnp.mean(
-            jnp.sum(qy * jnp.log(qy * n + 1e-10), axis=-1))
+        kl_per_pos = jnp.sum(qy * jnp.log(qy * n + 1e-10),
+                             axis=-1).reshape(b * h * w)
+        kl_loss = kl_cost * _wmean(kl_per_pos, _row_weights(mask, h * w))
 
         codes = jax.lax.stop_gradient(jnp.argmax(soft_one_hot, axis=-1).reshape(b, h * w))
         return quantized, codes, kl_loss
@@ -368,10 +392,11 @@ class EntropyVectorQuantizer(nn.Module):
     commitment_cost: float = 0.25
 
     @nn.compact
-    def __call__(self, z, train: bool = False):
+    def __call__(self, z, train: bool = False, mask=None):
         codebook = self.param("codebook", codebook_init(self.num_embeddings),
                               (self.num_embeddings, self.embedding_dim), jnp.float32)
         flat_x, (b, h, w, d) = _flatten(z)
+        rw = _row_weights(mask, h * w)
 
         # full distance matrix needed by the entropy loss (not just argmin)
         x2 = jnp.sum(flat_x ** 2, axis=1, keepdims=True)
@@ -383,11 +408,12 @@ class EntropyVectorQuantizer(nn.Module):
         codes = jnp.argmin(distances, axis=1)
         quantized = jnp.take(codebook, codes, axis=0)
 
-        e_loss = self.commitment_cost * jnp.mean(
-            (jax.lax.stop_gradient(quantized) - flat_x) ** 2)
-        q_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat_x)) ** 2)
+        e_loss = self.commitment_cost * _wmean(
+            (jax.lax.stop_gradient(quantized) - flat_x) ** 2, rw)
+        q_loss = _wmean((quantized - jax.lax.stop_gradient(flat_x)) ** 2, rw)
         ent = self.ent_loss_ratio * entropy_loss(
-            -distances, self.ent_temperature, self.ent_loss_type)
+            -distances, self.ent_temperature, self.ent_loss_type,
+            row_weights=rw)
 
         quantized = flat_x + jax.lax.stop_gradient(quantized - flat_x)
         quantized = quantized.reshape(b, h, w, d)
@@ -401,9 +427,15 @@ class EntropyVectorQuantizer(nn.Module):
 
 
 def entropy_loss(affinity: jnp.ndarray, temperature: float,
-                 loss_type: str = "softmax") -> jnp.ndarray:
+                 loss_type: str = "softmax",
+                 row_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """sample_entropy - avg_entropy over temperature-scaled affinities
-    (reference vector_quantizers.py:296-328)."""
+    (reference vector_quantizers.py:296-328).
+
+    ``row_weights``: optional (M,) weights — masked eval excludes padded rows
+    from BOTH the per-sample entropy mean and the batch-average distribution
+    (the avg_entropy term couples rows, so a post-hoc per-sample mask cannot
+    express it; the mask must reach this reduction)."""
     n_classes = affinity.shape[-1]
     affinity = affinity / temperature
     probs = jax.nn.softmax(affinity, axis=-1)
@@ -417,11 +449,16 @@ def entropy_loss(affinity: jnp.ndarray, temperature: float,
     else:
         raise ValueError(f"Entropy loss {loss_type} not supported")
 
-    avg_probs = jnp.mean(target_probs, axis=0)
+    if row_weights is None:
+        avg_probs = jnp.mean(target_probs, axis=0)
+    else:
+        avg_probs = (jnp.sum(target_probs * row_weights[:, None], axis=0)
+                     / jnp.maximum(jnp.sum(row_weights), 1.0))
     avg_entropy = -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-5))
 
     log_probs = jax.nn.log_softmax(affinity + 1e-5, axis=-1)
-    sample_entropy = jnp.mean(-jnp.sum(target_probs * log_probs, axis=-1))
+    sample_entropy = _wmean(-jnp.sum(target_probs * log_probs, axis=-1),
+                            row_weights)
     return sample_entropy - avg_entropy
 
 

@@ -89,19 +89,22 @@ class VQVAE(nn.Module):
             self.quantizer_type, self.num_embeddings, self.embedding_dim,
             q_params, axis_name=self.axis_name)
 
-    def _quantize(self, z, train, temp=None, kl_cost=None):
+    def _quantize(self, z, train, temp=None, kl_cost=None, mask=None):
         if self.quantizer_type == "gumbel":
-            return self.quantizer(z, train=train, temp=temp, kl_cost=kl_cost)
-        return self.quantizer(z, train=train)
+            return self.quantizer(z, train=train, temp=temp, kl_cost=kl_cost,
+                                  mask=mask)
+        return self.quantizer(z, train=train, mask=mask)
 
-    def __call__(self, x, train: bool = False, temp=None, kl_cost=None
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x, train: bool = False, temp=None, kl_cost=None,
+                 mask=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Normalized (-1,1) NHWC images -> (recon (-1,1), q_loss, codes (B,S)).
 
-        Parity: reference model.py:151-161.
+        Parity: reference model.py:151-161. ``mask``: optional (B,) bool —
+        padded rows of a partial final eval batch are excluded from the
+        quantizer-loss reductions (the reference never pads).
         """
         z = self.encoder(x)
-        quantized, codes, q_loss = self._quantize(z, train, temp, kl_cost)
+        quantized, codes, q_loss = self._quantize(z, train, temp, kl_cost, mask)
         x_recon = self.decoder(quantized)
         return x_recon, q_loss, codes
 

@@ -147,7 +147,7 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     l_conf = cfg.loss
     adv = l_conf.adversarial if l_conf is not None else None
 
-    def forward(params, vq_state, images, rng, step, train):
+    def forward(params, vq_state, images, rng, step, train, mask=None):
         variables = {"params": params}
         mutable = False
         if vq_state is not None:
@@ -155,6 +155,8 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
             if train:
                 mutable = ["vq_state"]
         kwargs = {}
+        if mask is not None:
+            kwargs["mask"] = mask
         rngs = {}
         if is_gumbel:
             kwargs["temp"] = temp_sched(step) if temp_sched else None
@@ -387,13 +389,13 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # eval step (validation/test: no augs, no optimizer, no EMA mutation)
     # ------------------------------------------------------------------
     def _eval_step(state: TrainState, batch, gan_active: bool):
-        # All per-sample metrics are MASKED means: zero-padded rows of a
-        # partial final eval batch (data/dataset.py Loader contract) are
-        # excluded exactly, and the cross-device reduction is
-        # psum(sum)/psum(count) so unevenly-filled shards stay correct.
-        # Exception: quant_loss comes out of the quantizer as a batch scalar
-        # (masking it would mean threading the mask through the model); on
-        # the single partial batch of an epoch it includes the padded rows.
+        # All metrics are MASKED means: zero-padded rows of a partial final
+        # eval batch (data/dataset.py Loader contract) are excluded exactly,
+        # and the cross-device reduction is psum(sum)/psum(count) so
+        # unevenly-filled shards stay correct. quant_loss comes out of the
+        # quantizer as a per-shard masked scalar (the mask is threaded into
+        # the quantizer reductions, models/quantizers.py), so its cross-shard
+        # reduction is weighted by each shard's valid count.
         images, mask = batch
         images = preprocess_batch(images)
         maskf = mask.astype(jnp.float32)
@@ -410,7 +412,8 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
         if mesh is not None:
             rng_model = jax.random.fold_in(rng_model, jax.lax.axis_index(AXIS))
         recon, q_loss, codes, _ = forward(state.params, state.vq_state, images,
-                                          rng_model, state.step, train=False)
+                                          rng_model, state.step, train=False,
+                                          mask=mask)
 
         l1_i = per_sample_mean(jnp.abs(images - recon))
         l2_i = per_sample_mean((images - recon) ** 2)
@@ -438,9 +441,14 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
         # padded rows (mask=False) excluded: they would otherwise pollute the
         # usage histogram / perplexity on the partial final eval batch
         usage = _psum(count_code_usage(codes, n_codes, mask=mask))
+        # q_loss is a per-shard masked mean; the global masked mean weights
+        # each shard by its valid-row count (exact for uneven final batches)
+        n_valid_local = jnp.sum(maskf)
+        q_loss_global = (_psum(q_loss * n_valid_local)
+                         / jnp.maximum(_psum(n_valid_local), 1.0))
         metrics = {
             "loss": masked_mean(loss_i), "l1_loss": masked_mean(l1_i),
-            "l2_loss": masked_mean(l2_i), "quant_loss": _pmean(q_loss),
+            "l2_loss": masked_mean(l2_i), "quant_loss": q_loss_global,
             "perc_loss": masked_mean(p_i), "gen_loss": masked_mean(g_i),
             "disc_loss": masked_mean(d_i),
             "n_valid": _psum(jnp.sum(maskf)),
