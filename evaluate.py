@@ -66,7 +66,10 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
         # batch_usage is already mask-filtered inside the eval step
         usage = batch_usage if usage is None else usage + batch_usage
         if fid is not None:
-            to_u8 = lambda x: np.clip(x * 255.0, 0, 255).astype(np.uint8)
+            # torchvision ConvertImageDtype(uint8) semantics (reference
+            # model.py:536-538): multiply by 256-eps and truncate — equal-width
+            # bins, NOT round(x*255)
+            to_u8 = lambda x: np.clip(x * (256.0 - 1e-3), 0, 255).astype(np.uint8)
             fid.update(to_u8(recons), real=False, mask=mask)
             fid.update(to_u8(images), real=True, mask=mask)
 

@@ -8,9 +8,14 @@ reference's rFID metric, model.py:497) with the FID-specific quirks:
   count_include_pad=False
 - the *second* InceptionE block (Mixed_7c) uses MAX pooling in its pool
   branch (faithful to the original TF graph)
-- input pipeline: uint8 -> [0,1] -> bilinear resize to 299 (no antialias,
-  half-pixel centers) -> scale to [-1, 1] -> features -> global avg pool
-  (pool3, 2048-d)
+- input pipeline matches torchmetrics' NoTrainInceptionV3
+  ('inception-v3-compat', i.e. torch-fidelity's FeatureExtractorInceptionV3,
+  what the reference's FrechetInceptionDistance() runs, model.py:497): uint8
+  -> float 0..255 -> TF1-style bilinear resize to 299 (ASYMMETRIC coordinate
+  mapping in = out * H/299, edge-clamped — NOT the half-pixel convention of
+  torch F.interpolate) -> (x - 128) / 128 -> features -> global avg pool
+  (pool3, 2048-d). The resize is expressed as two small dense matmuls
+  (static shapes), which XLA runs on the MXU.
 
 BatchNorm is folded into conv weights at conversion time
 (tools/convert_inception_weights.py), so inference is conv+bias+relu only.
@@ -173,18 +178,41 @@ class InceptionV3Pool3(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
 
 
+def _tf1_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) interpolation matrix for TF1 resize_bilinear with
+    align_corners=False: in_coord = out_coord * in/out (asymmetric, no
+    half-pixel offsets), upper tap edge-clamped. This is the resize inside
+    torch-fidelity's interpolate_bilinear_2d_like_tensorflow1x."""
+    coords = np.arange(out_size, dtype=np.float64) * (in_size / out_size)
+    lower = np.floor(coords).astype(np.int64)
+    upper = np.minimum(lower + 1, in_size - 1)
+    frac = (coords - lower).astype(np.float64)
+    mat = np.zeros((out_size, in_size), np.float64)
+    np.add.at(mat, (np.arange(out_size), lower), 1.0 - frac)
+    np.add.at(mat, (np.arange(out_size), upper), frac)
+    return mat.astype(np.float32)
+
+
 def preprocess_fid_input(images_uint8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 NHWC -> resized 299, scaled to [-1, 1] (pytorch-fid pipeline:
-    bilinear, no antialias, half-pixel centers, then 2x-1)."""
-    x = images_uint8.astype(jnp.float32) / 255.0
+    """uint8 NHWC -> the exact torchmetrics/torch-fidelity 'inception-v3-compat'
+    input: float 0..255, TF1 asymmetric bilinear resize to 299, (x-128)/128.
+
+    (The reference's FrechetInceptionDistance feeds uint8 into
+    NoTrainInceptionV3, model.py:497,536-541; FID is only comparable when
+    the resize convention matches bit-for-bit, so this is NOT the half-pixel
+    resize of pytorch-fid.) Resize order (raw 0..255 floats first, normalize
+    after) mirrors torch-fidelity; both steps are linear so the order only
+    matters for exact float agreement."""
+    x = images_uint8.astype(jnp.float32)
     b, h, w, c = x.shape
     if (h, w) != (299, 299):
-        scale = jnp.array([299.0 / h, 299.0 / w], jnp.float32)
-        translation = jnp.array([0.0, 0.0], jnp.float32)
-        x = jax.vmap(lambda im: jax.image.scale_and_translate(
-            im, (299, 299, c), (0, 1), scale, translation,
-            method="linear", antialias=False))(x)
-    return x * 2.0 - 1.0
+        mat_h = jnp.asarray(_tf1_bilinear_matrix(h, 299))
+        mat_w = jnp.asarray(_tf1_bilinear_matrix(w, 299))
+        x = jnp.einsum("bhwc,Hh->bHwc", x, mat_h,
+                       precision=jax.lax.Precision.HIGHEST)
+        x = jnp.einsum("bHwc,Ww->bHWc", x, mat_w,
+                       precision=jax.lax.Precision.HIGHEST)
+    return (x - 128.0) / 128.0
 
 
 def make_pool3_extractor(weights_path: Path):
