@@ -45,6 +45,34 @@ def convert_backbone_alex(sd: dict) -> dict:
     return params
 
 
+def convert_backbone_squeeze(sd: dict) -> dict:
+    """torchvision squeezenet1_1 .features state_dict -> flax
+    SqueezeNetFeatures params (conv0 + fire1..fire8, reference
+    networks.py:67-74 layer layout)."""
+
+    def conv(prefix):
+        return {"kernel": np.transpose(sd[f"{prefix}.weight"], (2, 3, 1, 0)),
+                "bias": sd[f"{prefix}.bias"]}
+
+    params = {"conv0": conv("0")}
+    # Fire modules sit at feature indices 3,4 / 6,7 / 9,10,11,12
+    for i, idx in enumerate([3, 4, 6, 7, 9, 10, 11, 12], start=1):
+        params[f"fire{i}"] = {
+            "squeeze": conv(f"{idx}.squeeze"),
+            "expand1x1": conv(f"{idx}.expand1x1"),
+            "expand3x3": conv(f"{idx}.expand3x3"),
+        }
+    return params
+
+
+_BACKBONE_CONVERTERS = {
+    "vgg": convert_backbone_vgg,
+    "alex": convert_backbone_alex,
+    "squeeze": convert_backbone_squeeze,
+}
+_N_LIN_LAYERS = {"vgg": 5, "alex": 5, "squeeze": 7}
+
+
 def convert_lin_heads(sd: dict, n_layers: int) -> dict:
     """richzhang lin heads: keys like 'lin0.model.1.weight' (1,C,1,1)."""
     out = {}
@@ -57,7 +85,8 @@ def convert_lin_heads(sd: dict, n_layers: int) -> dict:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--net", choices=["vgg", "alex"], required=True)
+    parser.add_argument("--net", choices=["vgg", "alex", "squeeze"],
+                        required=True)
     parser.add_argument("--out", default=str(Path.home() / ".cache" / "vqvae_tpu"))
     parser.add_argument("--backbone_pth", default=None,
                         help="optional local .pth of the torchvision "
@@ -74,8 +103,11 @@ def main():
         from torchvision import models
         if args.net == "vgg":
             net = models.vgg16(weights=models.VGG16_Weights.DEFAULT).features
-        else:
+        elif args.net == "alex":
             net = models.alexnet(weights=models.AlexNet_Weights.DEFAULT).features
+        else:
+            net = models.squeezenet1_1(
+                weights=models.SqueezeNet1_1_Weights.DEFAULT).features
         backbone_sd = net.state_dict()
     backbone_sd = {k: v.numpy() for k, v in backbone_sd.items()}
 
@@ -87,10 +119,8 @@ def main():
         lin_sd = torch.hub.load_state_dict_from_url(url, map_location="cpu")
     lin_sd = {k: v.numpy() for k, v in lin_sd.items()}
 
-    n_layers = 5
-    params = {"net": (convert_backbone_vgg(backbone_sd) if args.net == "vgg"
-                      else convert_backbone_alex(backbone_sd))}
-    params.update(convert_lin_heads(lin_sd, n_layers))
+    params = {"net": _BACKBONE_CONVERTERS[args.net](backbone_sd)}
+    params.update(convert_lin_heads(lin_sd, _N_LIN_LAYERS[args.net]))
 
     from vqvae_tpu.models.lpips import flatten_params
     flat = flatten_params(params)
