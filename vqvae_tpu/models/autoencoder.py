@@ -21,6 +21,8 @@ vqvae/modules/autoencoder.py:7-180), re-designed for XLA on TPU:
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -112,6 +114,109 @@ class GroupNorm(nn.Module):
         return xf.astype(self.dtype)
 
 
+def _gn_silu_plain(x, scale, bias, num_groups, eps, out_dtype):
+    """GroupNorm (unbiased var, fp32 stats) -> SiLU, the exact op sequence of
+    GroupNorm.__call__ + nn.silu. Shared by the plain path and the fused
+    forward so the two are bit-identical."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    g = num_groups
+    n = (c // g) * h * w
+    xg = xf.reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    centered = xg - mean
+    var = jnp.sum(centered * centered, axis=(1, 2, 4), keepdims=True) / max(n - 1, 1)
+    inv = jax.lax.rsqrt(var + eps)
+    xg = centered * inv
+    xf = xg.reshape(b, h, w, c)
+    xf = xf * scale + bias
+    y = xf.astype(out_dtype)
+    return nn.silu(y), (mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu_core(x, scale, bias, num_groups, eps, out_dtype):
+    return _gn_silu_plain(x, scale, bias, num_groups, eps, out_dtype)[0]
+
+
+def _gn_silu_fwd(x, scale, bias, num_groups, eps, out_dtype):
+    out, (mean, inv) = _gn_silu_plain(x, scale, bias, num_groups, eps, out_dtype)
+    # save the INPUT + tiny per-(batch,group) stats; x-hat, the GN output and
+    # the silu value are all recomputed in the backward — this removes the
+    # autodiff path's full-size saved residuals (fp32 centered tensor + the
+    # GN output kept for the silu VJP), the dominant HBM traffic of the
+    # norm backward at 256^2 (PERFORMANCE.md "GN-bwd fusions at 620-700 GB/s")
+    return out, (x, scale, bias, mean, inv)
+
+
+def _gn_silu_bwd(num_groups, eps, out_dtype, res, ct):
+    x, scale, bias, mean, inv = res
+    b, h, w, c = x.shape
+    g = num_groups
+    cg = c // g
+    n = cg * h * w
+
+    xg = x.astype(jnp.float32).reshape(b, h, w, g, cg)
+    xhat = (xg - mean) * inv                         # recomputed
+    xhat_f = xhat.reshape(b, h, w, c)
+    y = xhat_f * scale + bias                        # GN output (fp32)
+
+    # silu' in fp32 (the plain path differentiates silu in the compute dtype;
+    # fp32 here is the strictly more accurate rounding of the same value)
+    s = jax.nn.sigmoid(y)
+    dy = ct.astype(jnp.float32) * s * (1.0 + y * (1.0 - s))
+
+    dscale = jnp.sum(dy * xhat_f, axis=(0, 1, 2))
+    dbias = jnp.sum(dy, axis=(0, 1, 2))
+
+    # GN input gradient with the unbiased-variance correction:
+    #   dx = inv * (dxhat - mean_g(dxhat) - xhat * sum_g(dxhat*xhat)/(n-1))
+    dxhat = (dy * scale).reshape(b, h, w, g, cg)
+    m1 = jnp.mean(dxhat, axis=(1, 2, 4), keepdims=True)
+    m2 = jnp.sum(dxhat * xhat, axis=(1, 2, 4), keepdims=True) / max(n - 1, 1)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    return (dx.reshape(b, h, w, c).astype(x.dtype),
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
+
+
+_gn_silu_core.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+class GNSiLU(nn.Module):
+    """Fused GroupNorm -> SiLU with a hand-written VJP.
+
+    Forward math is bit-identical to ``nn.silu(GroupNorm(...)(x))`` (shared
+    helper); the backward recomputes x-hat / the silu input from the saved
+    input + per-group stats instead of materializing them. Parameter
+    names/paths match GroupNorm exactly (scale/bias), so checkpoints are
+    unaffected.
+
+    MEASURED OFF by default: on v5e at the 256^2 flagship the recompute
+    backward is ~1.2% SLOWER than XLA's autodiff composition (86.2 vs 87.3
+    img/s) — the extra transcendental recompute (sigmoid for silu') and the
+    second read of x outweigh the residual-traffic saving; XLA's GN-bwd
+    fusions already run at 620-700 GB/s (PERFORMANCE.md). Kept behind
+    ``VQVAE_TPU_GN_FUSED=1`` for future hardware where the VPU:HBM balance
+    differs; gradient parity pinned by test_gn_silu_fused."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        if c % self.num_groups != 0:
+            raise ValueError("num_channels must be divisible by num_groups")
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if os.environ.get("VQVAE_TPU_GN_FUSED", "0") != "1":
+            return _gn_silu_plain(x, scale, bias, self.num_groups, self.eps,
+                                  jnp.dtype(self.dtype))[0]
+        return _gn_silu_core(x, scale, bias, self.num_groups, self.eps,
+                             jnp.dtype(self.dtype))
+
+
 def _avg_pool_2x2(x):
     """2x2/stride-2 average pool as reshape + same-dtype sum.
 
@@ -180,10 +285,10 @@ class ResBlock(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_channels if self.out_channels is not None else in_ch
 
-        residual = nn.silu(GroupNorm(dtype=self.dtype, name="norm1")(x))
+        residual = GNSiLU(dtype=self.dtype, name="norm1")(x)
         residual = Conv(out_ch, 3, use_bias=False, dtype=self.dtype, name="conv1")(residual)
 
-        residual = nn.silu(GroupNorm(dtype=self.dtype, name="norm2")(residual))
+        residual = GNSiLU(dtype=self.dtype, name="norm2")(residual)
         if self.fold_pool:
             w = _ConvKernel(out_ch, name="conv2")(residual.shape[-1])
             t = jnp.asarray(_UPSAMPLE_FOLD_T, jnp.float32)
@@ -320,8 +425,7 @@ class Encoder(nn.Module):
         for j in range(self.num_res_blocks):
             x = block(dtype=self.dtype, name=f"final_block_{j}")(x)
 
-        x = GroupNorm(dtype=self.dtype, name="norm_out")(x)
-        x = nn.silu(x)
+        x = GNSiLU(dtype=self.dtype, name="norm_out")(x)
         x = Conv(self.embedding_dim, 1, use_bias=True, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32)
 
@@ -358,7 +462,6 @@ class Decoder(nn.Module):
                 x = block(ch_out, dtype=self.dtype, name=f"up_{i}_block_{j}")(x)
             x = Upsample(ch_out, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
-        x = GroupNorm(dtype=self.dtype, name="norm_out")(x)
-        x = nn.silu(x)
+        x = GNSiLU(dtype=self.dtype, name="norm_out")(x)
         x = Conv(3, 3, use_bias=True, dtype=self.dtype, name="conv_out")(x)
         return jnp.tanh(x.astype(jnp.float32))

@@ -262,6 +262,158 @@ class LPIPS(nn.Module):
         return jnp.mean(total) if reduce else total
 
 
+# ---------------------------------------------------------------------------
+# Fused training-path LPIPS (VGG): ONE concatenated backbone pass + manual
+# recon-half backward
+# ---------------------------------------------------------------------------
+
+_VGG_CFG = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+
+def _conv3x3(h, kernel, bias, dtype):
+    out = jax.lax.conv_general_dilated(
+        h.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + bias.astype(dtype)
+
+
+def _conv3x3_input_grad(ct, kernel, dtype):
+    """d conv3x3(SAME, stride 1) / d input: SAME conv with the kernel rotated
+    180 degrees and I/O swapped (the exact transpose XLA's AD emits)."""
+    k = jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
+    return jax.lax.conv_general_dilated(
+        ct.astype(dtype), k.astype(dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _max_pool_2x2_bwd(a, ct):
+    """VJP of _max_pool_2x2 at pre-pool activations ``a``: cotangent split
+    equally among tied window maxima (JAX reduce-max convention)."""
+    b, h, w, c = a.shape
+    aw = a.reshape(b, h // 2, 2, w // 2, 2, c)
+    m = jnp.max(aw, axis=(2, 4), keepdims=True)
+    mask = (aw == m).astype(ct.dtype)
+    ties = jnp.sum(mask, axis=(2, 4), keepdims=True)
+    d = mask / ties * ct[:, :, None, :, None, :]
+    return d.reshape(b, h, w, c)
+
+
+def make_fused_lpips_vgg(params, dtype=jnp.bfloat16):
+    """Training-path LPIPS(vgg): ``lpips(x, y) -> (B,) per-sample distance``
+    over ONE concatenated (x ‖ y) backbone pass, with a hand-written VJP that
+    backpropagates through the y (reconstruction) half only.
+
+    Rationale (PERFORMANCE.md / VERDICT r1): the module path runs the VGG16
+    features twice per step (images, recons — reference lpips.py:33 does the
+    same); batch-concatenation halves the per-op count in the lane-starved
+    C=64 stage-1. A naive ``net(concat(x, y))`` under autodiff would DOUBLE
+    the backward cost (B=2N input-grad chain against a half-zero cotangent),
+    so the backward is manual: frozen params mean input-grads only, computed
+    on the y half alone — identical FLOPs to the module path's backward.
+
+    Same math as ``LPIPS.__call__`` (parity-tested): z-score, taps after each
+    stage's last relu, fp32-stat channel normalization, squared diff through
+    the 1x1 lin heads, spatial mean, sum over layers. Params are captured as
+    constants (they live in no optimizer).
+    """
+    net = params["net"]
+    lins = [jnp.asarray(params[f"lin{i}"]) for i in range(len(_VGG_CFG))]
+    kernels, biases = [], []
+    idx = 0
+    for ch, n_convs in _VGG_CFG:
+        for _ in range(n_convs):
+            kernels.append(jnp.asarray(net[f"conv{idx}"]["kernel"]))
+            biases.append(jnp.asarray(net[f"conv{idx}"]["bias"]))
+            idx += 1
+
+    @jax.custom_vjp
+    def pair_dist(x, y):
+        return _fwd(x, y)[0]
+
+    def _fwd(x, y):
+        b = x.shape[0]
+        h = jnp.concatenate([x, y], axis=0)
+        h = ((h.astype(jnp.float32) - _SHIFT) / _SCALE).astype(dtype)
+
+        acts = []          # post-relu conv outputs, y half only (residuals:
+                           # saving the full 2B tensors kept the x half alive
+                           # through the whole backward and measurably HURT —
+                           # 83.9 vs 87.3 img/s from the extra HBM liveness)
+        norm_res = []      # (rt, inv) of the y half per tap
+        diffs = []         # normalized-tap diffs (B,...) per stage
+        # cotangents must match the primal dtypes; carried as 0-size arrays
+        # (custom_vjp residuals must be jax types)
+        in_dtypes = (jnp.zeros((0,), x.dtype), jnp.zeros((0,), y.dtype))
+        total = jnp.zeros((b,), jnp.float32)
+        idx = 0
+        for stage, (ch, n_convs) in enumerate(_VGG_CFG):
+            for _ in range(n_convs):
+                h = jax.nn.relu(_conv3x3(h, kernels[idx], biases[idx], dtype))
+                acts.append(h[b:])
+                idx += 1
+            # channel unit-normalization, fp32 stats (utils.py:6-8)
+            ss = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+            rt = jnp.sqrt(ss)
+            inv = 1.0 / (rt + 1e-10)
+            normed = (h * inv.astype(h.dtype)).astype(dtype)
+            fx, fy = normed[:b], normed[b:]
+            diff = fy - fx
+            diffs.append(diff)
+            norm_res.append((rt[b:], inv[b:]))
+            weighted = jnp.einsum("bhwc,co->bhwo", diff * diff,
+                                  lins[stage].astype(diff.dtype),
+                                  preferred_element_type=jnp.float32)
+            total = total + jnp.mean(weighted, axis=(1, 2, 3))
+            if stage < len(_VGG_CFG) - 1:
+                h = _max_pool_2x2(h)
+        return total, (acts, norm_res, diffs, b, in_dtypes)
+
+    def _bwd(res, g):
+        acts, norm_res, diffs, b, in_dtypes = res
+        g = g.astype(jnp.float32)  # (B,)
+
+        ct_next = None  # cotangent on the next stage's (post-pool) input
+        idx = len(kernels)
+        for stage in reversed(range(len(_VGG_CFG))):
+            ch, n_convs = _VGG_CFG[stage]
+            diff = diffs[stage]
+            _, hh, ww, _ = diff.shape
+            # d total/d fy = 2*diff*(lin weights) * g / (H*W); the einsum's
+            # lin head has out-dim 1 so the pullback is a broadcast multiply
+            scale = (g / (hh * ww))[:, None, None, None]
+            lin_vec = lins[stage][:, 0].astype(jnp.float32)
+            ct_fy = (2.0 * diff.astype(jnp.float32) * lin_vec
+                     * scale).astype(diff.dtype)
+            # through the normalization (same formula as _normalize_core_bwd)
+            a_y = acts[idx - 1]
+            rt, inv = norm_res[stage]
+            t = jnp.sum(ct_fy.astype(jnp.float32) * a_y.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+            nscale = t * inv * inv / jnp.maximum(rt, 1e-20)
+            ct = (ct_fy * inv.astype(a_y.dtype)
+                  - a_y * nscale.astype(a_y.dtype))
+            if ct_next is not None:
+                ct = ct + _max_pool_2x2_bwd(a_y, ct_next)
+            # conv chain of this stage, reverse order (relu mask from the
+            # post-relu act: post > 0 <=> pre > 0, and relu'(0) = 0)
+            for k in reversed(range(n_convs)):
+                idx -= 1
+                ct = ct * (acts[idx] > 0).astype(ct.dtype)
+                ct = _conv3x3_input_grad(ct, kernels[idx], dtype)
+            ct_next = ct
+
+        # ct_next is now d/d z-scored y; undo the z-score scaling. Cotangent
+        # dtypes must equal the primal dtypes (fp32 images/recons under the
+        # bf16 compute policy).
+        dy = (ct_next.astype(jnp.float32) / _SCALE).astype(in_dtypes[1].dtype)
+        dx = jnp.zeros(dy.shape, in_dtypes[0].dtype)
+        return dx, dy
+
+    pair_dist.defvjp(lambda x, y: _fwd(x, y), _bwd)
+    return pair_dist
+
+
 def lpips_weights_path(net_type: str) -> Path:
     env = os.environ.get("VQVAE_TPU_LPIPS_WEIGHTS_DIR")
     base = Path(env) if env else Path.home() / ".cache" / "vqvae_tpu"
