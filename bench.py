@@ -124,12 +124,70 @@ def main():
     ips = batch * n_steps / dt
     baseline = float(os.environ.get("VQGAN_A100_BASELINE_IPS", 90.0))
 
-    print(json.dumps({
+    result = {
         "metric": "train images/sec/chip, 256^2 gumbel VQGAN (LPIPS + StyleGAN2 D + R1/16)",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
-    }))
+    }
+
+    # secondary (non-flagship) configs — regression tracking for the non-GAN
+    # paths (PERFORMANCE.md "Other configurations"); same JSON line
+    if os.environ.get("VQGAN_BENCH_SECONDARY", "1") == "1" and on_tpu:
+        secondary = {}
+        for name, q_type in [("ema_vqvae", "ema"),
+                             ("standard_vqvae", "standard")]:
+            # a secondary-path failure must never lose the flagship number
+            try:
+                secondary[name] = _bench_plain(raw, q_type, image_size, jnp)
+            except Exception as exc:  # noqa: BLE001 — reported, not fatal
+                secondary[name] = f"error: {type(exc).__name__}: {exc}"[:200]
+        result["secondary"] = secondary
+
+    print(json.dumps(result))
+
+
+def _bench_plain(base_raw, q_type: str, image_size: int, jnp):
+    """img/s for a non-GAN 256^2 VQ-VAE train step (b32, bf16, no remat)."""
+    import copy
+    import time
+
+    import jax
+    import numpy as np
+
+    from vqvae_tpu.config import parse_config
+    from vqvae_tpu.train.loop import Trainer
+
+    raw = copy.deepcopy(base_raw)
+    raw.pop("loss", None)
+    raw["training"].pop("grad_accum_steps", None)
+    raw["quantizer"]["type"] = q_type
+    raw["quantizer"]["params"] = (
+        {"commitment_cost": 0.25} if q_type == "standard"
+        else {"commitment_cost": 0.25, "decay": 0.95, "epsilon": 1e-5})
+    cfg = parse_config(raw)
+
+    batch = 32
+    trainer = Trainer(cfg=cfg, learning_rate=1e-4, seed=0,
+                      steps_per_epoch=1000, mesh=None,
+                      compute_dtype=jnp.bfloat16, remat=False)
+    state = trainer.init_state()
+    images = np.random.RandomState(0).randint(
+        0, 255, (batch, image_size, image_size, 3), np.uint8)
+    batch_dict = {"image": jax.device_put(jnp.asarray(images))}
+
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch_dict, epoch=0)
+    _ = float(metrics["loss"])
+
+    n_steps, times = 16, []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = trainer.train_step(state, batch_dict, epoch=0)
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    return round(batch * n_steps / sorted(times)[1], 2)
 
 
 if __name__ == "__main__":

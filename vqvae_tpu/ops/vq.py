@@ -51,6 +51,13 @@ def nearest_codes(flat_x: jnp.ndarray, codebook: jnp.ndarray,
       (M,) int32 indices.
     """
     impl = impl or os.environ.get(_IMPL_ENV, "auto")
+    # code assignment is non-differentiable by construction (integer argmin;
+    # the quantizer losses route gradients through the codebook LOOKUP, not
+    # the assignment) — stop_gradient makes that explicit and keeps the
+    # Pallas call out of jvp/linearize traces (pallas_call has no JVP rule,
+    # so a train step differentiating past an un-annotated call would fail)
+    flat_x = jax.lax.stop_gradient(flat_x)
+    codebook = jax.lax.stop_gradient(codebook)
     if impl == "pallas" or (impl == "auto" and _pallas_ok(flat_x, codebook)):
         from vqvae_tpu.ops.vq_pallas import nearest_codes_pallas
         return nearest_codes_pallas(flat_x, codebook)
@@ -91,6 +98,19 @@ def nearest_codes_stats(flat_x: jnp.ndarray, codebook: jnp.ndarray,
     VMEM-footprint gate for the fused kernel's resident codebook/dw blocks.
     """
     impl = impl or os.environ.get(_IMPL_ENV, "auto")
+    # non-differentiable like nearest_codes: counts/dw feed the EMA state
+    # update (buffers, never differentiated); see the note there
+    flat_x = jax.lax.stop_gradient(flat_x)
+    codebook = jax.lax.stop_gradient(codebook)
+    if impl == "pallas" and not _pallas_ok(flat_x, codebook):
+        # explicit request must not silently run the oracle (debug runs with
+        # $VQVAE_TPU_VQ_IMPL=pallas must exercise the fused kernel or fail,
+        # matching nearest_codes dispatch semantics)
+        raise ValueError(
+            "impl='pallas' requested but the fused VQ kernel cannot run here "
+            f"(backend={jax.default_backend()!r}, shapes M={flat_x.shape[0]} "
+            f"D={flat_x.shape[1]} N={codebook.shape[0]}; needs a TPU backend "
+            "and M%256==0, N%128==0, D%128==0)")
     if impl != "xla" and _pallas_ok(flat_x, codebook):
         from vqvae_tpu.ops.vq_pallas import (
             TILE_M, nearest_codes_stats_pallas, vq_stats_vmem_bytes)

@@ -47,6 +47,20 @@ def _to_float01(images) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def device_hbm_gb() -> float:
+    """Per-device memory budget for the auto-remat gate, from the runtime
+    when it reports one (v5e: 16 GB, v4: 32 GB, ...); conservative 16 GB
+    fallback for backends without memory_stats (CPU tests)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+        if limit:
+            return limit / 1e9
+    except Exception:
+        pass
+    return 16.0
+
+
 def estimate_activation_gb(cfg: Config, per_device_batch: int) -> float:
     """Rough activation-memory model for the remat heuristic.
 
@@ -90,8 +104,10 @@ class Trainer:
         axis_name = "data" if self.mesh is not None else None
         if self.remat is None:
             if self.per_device_batch is not None:
-                self.remat = estimate_activation_gb(
-                    cfg, self.per_device_batch) > 12.0
+                # threshold scales with the actual device HBM (12/16 GB was
+                # the calibrated v5e gate; params/opt/workspace take the rest)
+                self.remat = (estimate_activation_gb(cfg, self.per_device_batch)
+                              > 0.75 * device_hbm_gb())
             else:
                 # batch unknown at construction: conservative legacy rule
                 self.remat = cfg.image_size >= 128
@@ -112,6 +128,14 @@ class Trainer:
 
         self.tx = make_ae_optimizer(self.lr_sched, t.betas, t.eps, t.weight_decay)
 
+        # host-side LR runtime-of-record: the native (C++) scheduler twin —
+        # steps on the host for the logged LR, explicit destroy() at train
+        # end (reference's scheduling_utils lifecycle, model.py:163-187,305-307)
+        from vqvae_tpu.train.native_schedulers import build_native_lr_scheduler
+        self.native_lr = build_native_lr_scheduler(
+            self.learning_rate, self.steps_per_epoch,
+            t.warmup_epochs, t.decay_epochs)
+
         # loss stack
         self.disc = None
         self.disc_tx = None
@@ -127,8 +151,25 @@ class Trainer:
                 lpips_params = self.lpips_params_override
             self.lpips_params = lpips_params
 
-            def lpips_apply(x, y, reduce=True, _m=lpips_module, _p=lpips_params):
-                return _m.apply({"params": _p}, x, y, reduce=reduce)
+            import os as _os
+            if (net_type == "vgg"
+                    and _os.environ.get("VQVAE_TPU_LPIPS_FUSED", "0") == "1"):
+                # opt-in (measured OFF on v5e: 83.9 vs 87.3 img/s — see
+                # PERFORMANCE.md "rejected"): ONE concatenated backbone pass
+                # per step with a manual recon-half backward (models/lpips.py
+                # make_fused_lpips_vgg; equality vs the module pinned by
+                # test_lpips_fused)
+                from vqvae_tpu.models.lpips import make_fused_lpips_vgg
+                fused = make_fused_lpips_vgg(lpips_params,
+                                             dtype=self.compute_dtype)
+
+                def lpips_apply(x, y, reduce=True, _f=fused):
+                    d = _f(x, y)
+                    return jnp.mean(d) if reduce else d
+            else:
+                def lpips_apply(x, y, reduce=True, _m=lpips_module,
+                                _p=lpips_params):
+                    return _m.apply({"params": _p}, x, y, reduce=reduce)
 
             if cfg.use_adversarial:
                 # the reference's D also ran under AMP; bf16 compute + remat
@@ -302,11 +343,17 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
         train_loader.set_epoch(epoch)
         t0 = time.time()
         n_img = 0
-        last_metrics = {}
+        n_batches = 0
+        metric_sums = None
         for batch_index, batch in enumerate(train_loader):
             state, metrics = trainer.train_step(state, batch, epoch)
             n_img += batch["image"].shape[0]
-            last_metrics = metrics
+            # epoch-mean logging (reference on_epoch=True, model.py:277-286):
+            # accumulate ON DEVICE (lazy adds) — a float() per step would
+            # fence the dispatch pipeline; one fetch per epoch below
+            metric_sums = (metrics if metric_sums is None
+                           else jax.tree.map(jnp.add, metric_sums, metrics))
+            n_batches += 1
             if batch_index == log_recon_batch and epoch % 5 == 0:
                 _, _, recons = trainer.eval_step(state, batch, epoch)
                 panel = make_recon_panel(_to_float01(batch["image"]),
@@ -314,7 +361,12 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
                 logger.log_images(panel, int(state.step),
                                   "train/reconstructions")
 
-        metrics = {k: float(v) for k, v in last_metrics.items()}
+        metrics = {k: float(v) / max(n_batches, 1)
+                   for k, v in (metric_sums or {}).items()}
+        # logged LR comes from the HOST-side native (C++) scheduler — the
+        # runtime-of-record twin of the in-jit schedule (pinned by
+        # test_schedules); value at the epoch's last completed step
+        metrics["lr"] = trainer.native_lr.step(max(int(state.step) - 1, 0))
         metrics["images_per_sec"] = n_img / max(time.time() - t0, 1e-9)
         metrics["epoch"] = epoch
         logger.log(metrics, int(state.step), prefix="train/")
@@ -334,6 +386,9 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
         state = trainer.reset_usage(state)
         ckpt.save(state, epoch)
 
+    # explicit native-scheduler teardown (reference on_train_end,
+    # model.py:305-307 scheduler.destroy())
+    trainer.native_lr.destroy()
     return state, trainer
 
 

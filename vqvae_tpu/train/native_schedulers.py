@@ -126,3 +126,30 @@ class LinearCosineScheduler(_NativeScheduler):
                     return _linear_at(s, start_step, warmup_end, 0.0, v_peak)
                 return _cosine_at(s, warmup_end, stop_step, v_peak, v_end)
             self._py_step = py
+
+
+class ConstantScheduler(_NativeScheduler):
+    def __init__(self, v):
+        super().__init__()
+        # constant has no native counterpart in scheduling_utils either;
+        # trivial host math
+        self._py_step = lambda s: float(v)
+
+
+def build_native_lr_scheduler(lr: float, steps_per_epoch: int,
+                              warmup_epochs, decay_epochs):
+    """Host-side runtime-of-record for the LR value: the native (C++)
+    scheduler twin of train.schedules.build_lr_schedule, same dispatch as the
+    reference's on_train_start (model.py:163-187). The Trainer steps it on
+    the host for the logged per-epoch LR and destroys it at train end
+    (reference on_train_end, model.py:305-307); test_schedules pins it to the
+    in-jit jnp schedule."""
+    if warmup_epochs is not None and decay_epochs is not None:
+        return LinearCosineScheduler(0.0, decay_epochs * steps_per_epoch,
+                                     lr, lr / 2.0,
+                                     warmup_epochs * steps_per_epoch)
+    if warmup_epochs is not None:
+        return LinearScheduler(0.0, warmup_epochs * steps_per_epoch, 1e-20, lr)
+    if decay_epochs is not None:
+        return CosineScheduler(0.0, decay_epochs * steps_per_epoch, lr, lr / 2.0)
+    return ConstantScheduler(lr)

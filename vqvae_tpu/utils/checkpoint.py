@@ -42,12 +42,14 @@ class CheckpointManager:
         self._save_to(self.dir / "last", payload)
 
     def _save_to(self, path: Path, payload):
-        # multi-host: ONE process clears the target (all hosts rmtree-ing a
-        # shared filesystem path races with each other and with the write),
-        # then every process enters orbax's save — orbax coordinates
+        # multi-host: EVERY process clears its locally-visible target
+        # (ignore_errors tolerates the concurrent-rmtree races of a shared
+        # filesystem; with host-local save dirs each host must remove its own
+        # stale copy or orbax refuses the overwrite), then all processes sync
+        # before entering orbax's save — orbax coordinates
         # single-writer-per-shard internally and expects all processes.
-        if jax.process_index() == 0 and path.exists():
-            shutil.rmtree(path)
+        if path.exists():
+            shutil.rmtree(path, ignore_errors=True)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"ckpt_clear:{path.name}")
