@@ -108,8 +108,165 @@ def _max_pool_2x2(x):
     return jnp.max(x, axis=(2, 4))
 
 
+# ---------------------------------------------------------------------------
+# W-polyphase stage 1 (VGG): C=64 tensors at 256^2 are physically padded to
+# the 128-wide lane tile (layout T(8,128)), so every stage-1 op runs at half
+# the effective HBM bandwidth (profiled 276-362 GB/s vs 640-700 for C=128
+# tensors — ~23 ms/step of the GAN step). Merging adjacent W-pixel PAIRS into
+# channels makes every stage-1 tensor a dense [B, H, W/2, 128]:
+#
+#   X[b, h, j, p*64 + c] = x[b, h, 2j + p, c]        (a pure reshape)
+#
+# The two 3x3 convs become ONE conv each on the poly form with exactly
+# rearranged kernels (conv1_1: stride-(1,2) window (3,4); conv1_2: window
+# (3,3) over W-blocks with a half-dense 128->128 channel matrix — 2x the
+# MACs of the 64->64 conv but at dense-MXU rates, where the C=64 conv was
+# measured at 35-75 of 197 TFLOP/s). Channel unit-normalization becomes a
+# per-64-group norm, and the 2x2 max pool becomes an H-slice max + a max of
+# the two phase channel-halves. All exact (same taps, same distance).
+# ---------------------------------------------------------------------------
+
+
+def _poly_kernel_stem(k):
+    """[3,3,ci,co] SAME/stride-1 kernel -> [3,4,ci,2co] stride-(1,2) kernel
+    producing the W-polyphase output directly: output block j, phase q reads
+    w = 2j+q+dw for dw in {-1,0,1}; with W padding (1,2) the window position
+    is kw = q+dw+1."""
+    kh, kw, ci, co = k.shape
+    z = jnp.zeros((kh, 4, ci, 2 * co), k.dtype)
+    z = z.at[:, 0:3, :, :co].set(k)     # q=0: kw = dw+1 in {0,1,2}
+    z = z.at[:, 1:4, :, co:].set(k)     # q=1: kw = dw+2 in {1,2,3}
+    return z
+
+
+def _poly_kernel_3x3(k):
+    """[3,3,ci,co] SAME/stride-1 kernel -> [3,3,2ci,2co] poly->poly kernel.
+
+    Output phase q at block j reads input w = 2j+q+dw; in poly coordinates
+    that is (block j+db, phase p) with (db,p) = divmod(q+dw, 2). Half the
+    (W-tap, phase) entries are structurally zero — 2x the MACs of the
+    original conv, at dense-lane MXU rates."""
+    kh, kw, ci, co = k.shape
+    z = jnp.zeros((kh, 3, 2 * ci, 2 * co), k.dtype)
+    # q=0: dw=-1 -> (db=-1,p=1); dw=0 -> (0,0); dw=1 -> (0,1)
+    z = z.at[:, 0, ci:, :co].set(k[:, 0])
+    z = z.at[:, 1, :ci, :co].set(k[:, 1])
+    z = z.at[:, 1, ci:, :co].set(k[:, 2])
+    # q=1: dw=-1 -> (0,0); dw=0 -> (0,1); dw=1 -> (+1,0)
+    z = z.at[:, 1, :ci, co:].set(k[:, 0])
+    z = z.at[:, 1, ci:, co:].set(k[:, 1])
+    z = z.at[:, 2, :ci, co:].set(k[:, 2])
+    return z
+
+
+def _max_pool_2x2_poly(xp, c):
+    """2x2/stride-2 max pool of the poly form: H via even/odd row slices, W
+    via the two phase channel-halves. Returns the plain [B, H/2, W/2, c].
+
+    The optimization barrier forces the pooled tensor to materialize: without
+    it XLA producer-fuses the whole max chain into the next stage's 3x3 conv,
+    re-evaluating it once per window tap (profiled: 9x re-read of the 2x-size
+    pre-pool tensor, 3.5 ms vs ~0.9 for the materialized form)."""
+    a = jnp.maximum(xp[:, 0::2], xp[:, 1::2])
+    return jax.lax.optimization_barrier(jnp.maximum(a[..., :c], a[..., c:]))
+
+
+def _normalize_activation_grouped(x, groups, eps=1e-10, out_dtype=jnp.float32):
+    """Unit-normalize each contiguous channel GROUP per pixel — the poly-form
+    equivalent of `_normalize_activation` (each phase's 64 channels are one
+    original pixel). The group sums ride the MXU via a [C,C] 0/1 block-matrix
+    product that broadcasts them straight back to full channel width: every
+    elementwise op stays on dense 128-lane tensors. (Per-half slice reduces
+    were measured 2x slower — each half runs lane-masked at ~310 GB/s.)
+    Precision.HIGH keeps f32-grade products for the fp32 statistics at half
+    the cost of HIGHEST."""
+    return _normalize_core_grouped(x, int(groups), float(eps),
+                                   jnp.dtype(out_dtype))
+
+
+def _group_mat(c, groups):
+    gs = c // groups
+    return jnp.kron(jnp.eye(groups, dtype=jnp.float32),
+                    jnp.ones((gs, gs), jnp.float32))
+
+
+def _grouped_ss(x, groups):
+    xf = x.astype(jnp.float32)
+    return jnp.einsum("...c,cd->...d", xf * xf,
+                      _group_mat(x.shape[-1], groups),
+                      precision=jax.lax.Precision.HIGH)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _normalize_core_grouped(x, groups, eps, out_dtype):
+    inv = 1.0 / (jnp.sqrt(_grouped_ss(x, groups)) + eps)
+    return (x * inv.astype(x.dtype)).astype(out_dtype)
+
+
+def _normalize_core_grouped_fwd(x, groups, eps, out_dtype):
+    # residual is x alone: the backward recomputes the (MXU-cheap) group
+    # sums instead of storing full-width fp32 rt/inv tensors
+    return _normalize_core_grouped(x, groups, eps, out_dtype), (x,)
+
+
+def _normalize_core_grouped_bwd(groups, eps, out_dtype, res, ct):
+    (x,) = res
+    rt = jnp.sqrt(_grouped_ss(x, groups))
+    inv = 1.0 / (rt + eps)
+    ctc = ct.astype(x.dtype)
+    t = jnp.einsum("...c,cd->...d",
+                   ctc.astype(jnp.float32) * x.astype(jnp.float32),
+                   _group_mat(x.shape[-1], groups),
+                   precision=jax.lax.Precision.HIGH)
+    scale = t * inv * inv / jnp.maximum(rt, 1e-20)
+    dx = ctc * inv.astype(x.dtype) - x * scale.astype(x.dtype)
+    return (dx,)
+
+
+_normalize_core_grouped.defvjp(_normalize_core_grouped_fwd,
+                               _normalize_core_grouped_bwd)
+
+
+class _ConvParams(nn.Module):
+    """Declares `kernel`/`bias` with nn.Conv's exact param paths and inits,
+    for paths that consume the kernel in a rearranged form (poly stage 1).
+    Checkpoint/param structure is identical to the nn.Conv it replaces."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+def lpips_poly_default(dtype, width, net_type="vgg") -> bool:
+    """Resolve the stage-1 polyphase toggle (env VQVAE_TPU_LPIPS_POLY=1).
+
+    Default OFF: despite per-op wins (the poly convs run at 188 vs 34-75
+    TFLOP/s), the variant measured ~3 ms/iter SLOWER end-to-end than the
+    canonical path on v5e — the transform's boundary costs (layout copies,
+    the MXU group-norm, pool materialization) eat the lane-density win; see
+    PERFORMANCE.md "rejected". Kept as a parity-tested escape hatch for
+    hardware where the balance differs."""
+    del dtype
+    if net_type != "vgg" or width % 2:
+        return False
+    return os.environ.get("VQVAE_TPU_LPIPS_POLY", "0") == "1"
+
+
 class VGG16Features(nn.Module):
-    """torchvision VGG16 `.features` up to relu5_3, returning the 5 LPIPS taps."""
+    """torchvision VGG16 `.features` up to relu5_3, returning the 5 LPIPS taps.
+
+    When the stage-1 polyphase path is active (see `lpips_poly_default`), the
+    FIRST tap is returned in W-polyphase form [B, H, W/2, 128] (phase-major
+    channel halves); `LPIPS.__call__` consumes it with a duplicated lin head.
+    All other taps and all parameters are unchanged in either mode.
+    """
 
     dtype: Any = jnp.float32
 
@@ -119,6 +276,29 @@ class VGG16Features(nn.Module):
         taps = []
         idx = 0
         x = x.astype(self.dtype)
+        poly = lpips_poly_default(self.dtype, x.shape[2])
+        if poly:
+            # stage 1 in W-polyphase form: dense 128-lane tensors instead of
+            # half-padded C=64 (exact; see the block comment above
+            # _poly_kernel_stem)
+            k0, b0 = _ConvParams(64, 3, name="conv0")()
+            k1, b1 = _ConvParams(64, 64, name="conv1")()
+            bias_poly = jnp.concatenate([b0, b0]).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                x, _poly_kernel_stem(k0).astype(self.dtype),
+                window_strides=(1, 2), padding=((1, 1), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = nn.relu(x + bias_poly)
+            x = jax.lax.conv_general_dilated(
+                x, _poly_kernel_3x3(k1).astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = nn.relu(x + jnp.concatenate([b1, b1]).astype(self.dtype))
+            taps.append(_normalize_activation_grouped(x, 2,
+                                                      out_dtype=self.dtype))
+            x = _max_pool_2x2_poly(x, 64)
+            idx = 2
+            cfg = cfg[1:]
         for stage, (ch, n_convs) in enumerate(cfg):
             for _ in range(n_convs):
                 x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
@@ -253,10 +433,18 @@ class LPIPS(nn.Module):
         for i, (fx, fy, ch) in enumerate(zip(feat_x, feat_y, channels)):
             lin = self.param(f"lin{i}", nn.initializers.ones, (ch, 1), jnp.float32)
             diff = (fx - fy) ** 2
+            lin_eff = lin
+            count_fix = 1.0
+            if fx.shape[-1] == 2 * ch:
+                # W-polyphase tap (stage 1, see VGG16Features): each spatial
+                # position holds TWO pixels' channel groups — duplicate the
+                # lin head and halve the spatial mean
+                lin_eff = jnp.concatenate([lin, lin], axis=0)
+                count_fix = 0.5
             weighted = jnp.einsum("bhwc,co->bhwo", diff,
-                                  lin.astype(diff.dtype),
+                                  lin_eff.astype(diff.dtype),
                                   preferred_element_type=jnp.float32)
-            total = total + jnp.mean(weighted, axis=(1, 2, 3))
+            total = total + count_fix * jnp.mean(weighted, axis=(1, 2, 3))
         # reduce=False -> per-sample distances (B,), used by the masked eval
         # step to exclude zero-padded rows from partial final batches
         return jnp.mean(total) if reduce else total

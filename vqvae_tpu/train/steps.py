@@ -77,6 +77,25 @@ from vqvae_tpu.train.state import TrainState
 AXIS = "data"
 
 
+def _xla_compiler_options() -> Optional[dict]:
+    """Optional per-step XLA compiler options from VQVAE_TPU_XLA_OPTS
+    ("flag=value,flag=value") — a tuning hook for TPU compiler knobs (e.g.
+    xla_tpu_scoped_vmem_limit_kib) that the axon environment does not accept
+    via XLA_FLAGS. Applied to every jitted train/eval step."""
+    import os
+
+    spec = os.environ.get("VQVAE_TPU_XLA_OPTS", "").strip()
+    if not spec:
+        return None
+    opts = {}
+    for item in spec.split(","):
+        if not item.strip():
+            continue
+        key, _, value = item.partition("=")
+        opts[key.strip()] = value.strip()
+    return opts or None
+
+
 def make_paired_logits(apply_fn: Callable):
     """Two logits views over ONE discriminator forward, with disjoint
     gradient routing.
@@ -460,14 +479,17 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # wrap in shard_map + jit
     # ------------------------------------------------------------------
     def _wrap(fn, donate=True, n_out_sharded=0):
+        opts = _xla_compiler_options()
         if mesh is None:
-            return jax.jit(fn, donate_argnums=(0,) if donate else ())
+            return jax.jit(fn, donate_argnums=(0,) if donate else (),
+                           compiler_options=opts)
         out_specs: Any = (P(), P())
         if n_out_sharded:
             out_specs = (P(), P(), P(AXIS))
         mapped = shard_map(fn, mesh=mesh, in_specs=(P(), P(AXIS)),
                            out_specs=out_specs, check_rep=False)
-        return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+        return jax.jit(mapped, donate_argnums=(0,) if donate else (),
+                       compiler_options=opts)
 
     train_pre = _wrap(functools.partial(_train_step, gan_active=False))
     train_gan = (_wrap(functools.partial(_train_step, gan_active=True))
