@@ -51,6 +51,12 @@ def main():
     import dataclasses
 
     import jax
+
+    # honor JAX_PLATFORMS=cpu: the axon TPU plugin re-registers itself over
+    # the env var, so hermetic runs (tests, tunnel outages) must pin the
+    # platform through jax.config instead
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

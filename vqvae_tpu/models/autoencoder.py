@@ -259,6 +259,63 @@ _UPSAMPLE_FOLD_T = np.array([[1, 0, 0],
                              [0, 0, 1]], np.float32)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _up_conv_folded(x, k4, dtype):
+    """lhs_dilation=2 'folded upsample' conv with a hand-picked backward.
+
+    Forward: identical to the plain base-dilated conv (the replicated tensor
+    is never materialized). Backward: XLA's AD of the lhs-dilated form emits
+    a full-resolution spatial `reverse` of the output cotangent feeding each
+    weight-grad (profiled ~2.2 ms/step across the decoder's four upsamples at
+    256^2 b32). Here the weight grad is computed instead as four per-output-
+    parity plain 2x2-kernel convolutions — for output phase q=(qa,qb),
+    y[2i+qa, 2j+qb] = sum_{r,s} x[i+qa-1+r, j+qb-1+s] * k4[qa+2r, qb+2s] —
+    whose standard (stride-1, no-dilation) weight-grad lowering needs no
+    reverse; the input grad is the equivalent plain stride-2 conv with the
+    spatially-flipped kernel. Exact (same taps, same sums)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k4.astype(dtype),
+        window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _up_conv_folded_fwd(x, k4, dtype):
+    return _up_conv_folded(x, k4, dtype), (x, k4)
+
+
+def _up_conv_folded_bwd(dtype, res, ct):
+    x, k4 = res
+    k4c = k4.astype(dtype)
+    # d/dx: plain stride-2 conv of the cotangent with the flipped kernel
+    # (dx[i] = sum_k ct[2i+2-k] k4[k], k' = 3-k -> window 4, pad (1,1))
+    dx = jax.lax.conv_general_dilated(
+        ct, jnp.flip(k4c, (0, 1)).swapaxes(2, 3),
+        window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # d/dk4: per output parity q, the cotangent phase slice pulls back
+    # through a plain 2x2-kernel conv whose weight-grad lowering is the
+    # standard (reverse-free) one
+    dk4 = jnp.zeros(k4.shape, jnp.float32)
+    xc = x.astype(dtype)
+    for qa in (0, 1):
+        for qb in (0, 1):
+            kq = k4c[qa::2, qb::2]
+            pad = ((1 - qa, qa), (1 - qb, qb))
+
+            def phase(kk, _pad=pad):
+                return jax.lax.conv_general_dilated(
+                    xc, kk, window_strides=(1, 1), padding=_pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            _, pull = jax.vjp(phase, kq)
+            (dkq,) = pull(ct[:, qa::2, qb::2])
+            dk4 = dk4.at[qa::2, qb::2].set(dkq.astype(jnp.float32))
+    return dx.astype(x.dtype), dk4.astype(k4.dtype)
+
+
+_up_conv_folded.defvjp(_up_conv_folded_fwd, _up_conv_folded_bwd)
+
+
 class ResBlock(nn.Module):
     """Pre-activation residual block: (GN -> SiLU -> 3x3 conv) x2, bias-free
     convs, optional 1x1 shortcut when channels change.
@@ -377,13 +434,17 @@ class Upsample(nn.Module):
 
         t = jnp.asarray(_UPSAMPLE_FOLD_T, jnp.float32)
         k4 = jnp.einsum("ad,be,dexy->abxy", t, t, w.astype(jnp.float32))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k4.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((2, 2), (2, 2)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if os.environ.get("VQVAE_TPU_UPFOLD_VJP", "1") == "1":
+            # reverse-free weight-grad formulation (see _up_conv_folded)
+            y = _up_conv_folded(x, k4, jnp.dtype(self.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k4.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         return y + b.astype(self.dtype)
 
 

@@ -78,14 +78,23 @@ AXIS = "data"
 
 
 def _xla_compiler_options() -> Optional[dict]:
-    """Optional per-step XLA compiler options from VQVAE_TPU_XLA_OPTS
-    ("flag=value,flag=value") — a tuning hook for TPU compiler knobs (e.g.
-    xla_tpu_scoped_vmem_limit_kib) that the axon environment does not accept
-    via XLA_FLAGS. Applied to every jitted train/eval step."""
+    """Per-step XLA compiler options (TPU tuning knobs that this environment
+    cannot receive via XLA_FLAGS). Override with VQVAE_TPU_XLA_OPTS
+    ("flag=value,flag=value", or "none" to disable).
+
+    Default on TPU backends: xla_tpu_scoped_vmem_limit_kib=65536 — measured
+    +1.2% on the 256^2 GAN step (88.31 vs 87.27 img/s, PERFORMANCE.md); the
+    compiler's built-in retry handles programs whose ops cannot fit the
+    larger scoped window. 96 MB was rejected: compile time explodes (>45 min
+    vs ~10)."""
     import os
 
     spec = os.environ.get("VQVAE_TPU_XLA_OPTS", "").strip()
     if not spec:
+        if jax.default_backend() in ("tpu", "axon"):
+            return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+        return None
+    if spec.lower() == "none":
         return None
     opts = {}
     for item in spec.split(","):
