@@ -12,6 +12,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -54,8 +55,16 @@ def capture(config: str, batch: int, remat, logdir: str):
     jax.profiler.stop_trace()
 
 
-def report(logdir: str, top_n: int = 40):
-    """Parse the captured xplane with xprof and print op-level stats."""
+def report(logdir: str, top_n: int = 40, n_steps: int = 4,
+           peak_tflops: float = 197e3, peak_gbps: float = 819.0):
+    """Parse the captured xplane with xprof's hlo_stats view and print
+    per-fusion time / achieved FLOP rate / achieved HBM bandwidth / roofline
+    waste + source attribution — the view that exposes which fusions are
+    below both rooflines (op_profile only surfaces non-fusion leaves).
+
+    `waste` = self_time * (1 - max(flops/peak, bw/peak)): an upper bound on
+    the time a speed-of-light implementation of that op could save. Peaks
+    default to TPU v5e bf16 (197 TFLOP/s, 819 GB/s)."""
     xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                         recursive=True)
     if not xplanes:
@@ -67,31 +76,38 @@ def report(logdir: str, top_n: int = 40):
         from xprof.convert import raw_to_tool_data as rtd
     except ImportError:  # older installs
         from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xplane], "op_profile", {})
-    prof = json.loads(data)
+    data, _ = rtd.xspace_to_tool_data([xplane], "hlo_stats", {})
+    obj = json.loads(data.decode() if isinstance(data, bytes) else data)
+    idx = {c["id"]: i for i, c in enumerate(obj["cols"])}
 
-    def walk(node, path, out):
-        m = node.get("metrics", {})
-        children = node.get("children", [])
-        name = node.get("name", "?")
-        if not children:
-            out.append((m.get("rawTime", 0), name, m.get("flops", 0),
-                        m.get("bandwidthUtils", [])))
-        for c in children:
-            walk(c, path + [name], out)
+    rows = []
+    tot = waste_tot = 0.0
+    by_cat = {}
+    for r in obj["rows"]:
+        c = r["c"]
+        t = (c[idx["total_self_time"]]["v"] or 0) / (1000.0 * n_steps)  # ms
+        fr = c[idx["normalized_flop_rate"]]["v"] or 0                   # GF/s
+        bw = c[idx["measured_memory_bw"]]["v"] or 0                     # GB/s
+        cat = c[idx["category"]]["v"]
+        eff = max(fr / peak_tflops, bw / peak_gbps)
+        waste = t * (1 - min(eff, 1.0)) if eff > 0 else 0.0
+        src = (c[idx["source_info"]]["v"] or "")  # html-wrapped path:line
+        m = re.findall(r"([\w.-]+\.\w+:\d+)", src)
+        src = m[-1] if m else ""
+        rows.append((t, waste, fr / 1e3, bw, c[idx["hlo_op_name"]]["v"],
+                     cat, src))
+        tot += t
+        waste_tot += waste
+        by_cat[cat] = by_cat.get(cat, 0.0) + t
+    rows.sort(reverse=True)
 
-    root = prof.get("byProgram") or prof.get("byCategory")
-    if root is None:
-        print(f"op_profile payload has no byProgram/byCategory tree "
-              f"(keys: {sorted(prof)})", file=sys.stderr)
-        return
-    out = []
-    walk(root, [], out)
-    out.sort(reverse=True)
-    total = sum(t for t, *_ in out) or 1
-    print(f"{'self-time %':>11}  {'ps':>14}  op")
-    for t, name, flops, bw in out[:top_n]:
-        print(f"{100.0 * t / total:10.2f}%  {t:14.0f}  {name}")
+    print(f"total {tot:.1f} ms/step over {len(rows)} ops; "
+          f"roofline-bound waste {waste_tot:.1f} ms/step")
+    for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1])[:8]:
+        print(f"  {cat:28s} {t:8.2f} ms/step")
+    print(f"{'ms':>7} {'waste':>6} {'TF/s':>7} {'GB/s':>6}  op / source")
+    for t, waste, fr, bw, op, cat, src in rows[:top_n]:
+        print(f"{t:7.2f} {waste:6.2f} {fr:7.1f} {bw:6.1f}  {op:30s} {src}")
 
 
 def main():
