@@ -79,3 +79,26 @@ def test_tokenize_dataset_cli(trained_run):
     assert toks.min() >= 0 and toks.max() < 32
     val = np.load(out / "validation_tokens.npy")
     assert val.shape == (6, 16)
+
+
+def test_tokenize_dataset_cli_spatial(trained_run):
+    """--spatial over 4 virtual devices must produce identical tokens."""
+    root, conf, data = trained_run
+    out = root / "tokens"          # the non-spatial reference run's output
+    out_sp = root / "tokens_spatial"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    res = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "tokenize_dataset.py"),
+         "--params_file", str(conf),
+         "--loading_path", str(root / "ck" / "r" / "last"),
+         "--dataset_path", str(data),
+         "--splits", "train",
+         "--batch_size", "8",
+         "--spatial",
+         "--output_folder", str(out_sp)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "spatial sharding over 4 devices" in res.stdout
+    np.testing.assert_array_equal(np.load(out_sp / "train_tokens.npy"),
+                                  np.load(out / "train_tokens.npy"))

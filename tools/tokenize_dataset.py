@@ -42,6 +42,11 @@ def parse_args():
                     help="gumbel quantizer: sample tokens through gumbel "
                          "noise exactly like the reference vec_to_codes "
                          "(default: deterministic argmax)")
+    ap.add_argument("--spatial", action="store_true",
+                    help="shard each image's HEIGHT across all devices "
+                         "(GSPMD spatial partitioning, automatic conv halo "
+                         "exchange) — for resolutions whose activations "
+                         "exceed one chip's HBM; deterministic tokens only")
     return ap.parse_args()
 
 
@@ -89,15 +94,32 @@ def main():
     if is_gumbel:
         kwargs["deterministic"] = not args.sampled_tokens
 
-    @jax.jit
-    def tokens_of(params, images, rng):
-        x = images.astype(jnp.float32) / 255.0
-        variables = {"params": params}
+    if args.spatial:
+        if is_gumbel and args.sampled_tokens:
+            raise SystemExit("--spatial supports deterministic tokens only "
+                             "(drop --sampled_tokens)")
+        from vqvae_tpu.parallel.mesh import create_mesh
+        from vqvae_tpu.parallel.spatial import make_spatial_apply
+        mesh = create_mesh(("data",))
+        variables = {"params": state.params}
         if state.vq_state is not None:
             variables["vq_state"] = state.vq_state
-        rngs = {"gumbel": rng} if is_gumbel else None
-        return model.apply(variables, x, method="get_tokens", rngs=rngs,
-                           **kwargs)
+        spatial_fn = make_spatial_apply(model, variables, mesh,
+                                        method="get_tokens", **kwargs)
+        print(f"[INFO] spatial sharding over {mesh.devices.size} devices")
+
+        def tokens_of(params, images, rng):
+            return spatial_fn(images.astype(jnp.float32) / 255.0)
+    else:
+        @jax.jit
+        def tokens_of(params, images, rng):
+            x = images.astype(jnp.float32) / 255.0
+            variables = {"params": params}
+            if state.vq_state is not None:
+                variables["vq_state"] = state.vq_state
+            rngs = {"gumbel": rng} if is_gumbel else None
+            return model.apply(variables, x, method="get_tokens", rngs=rngs,
+                               **kwargs)
 
     os.makedirs(args.output_folder, exist_ok=True)
     manifest = {"num_embeddings": cfg.quantizer.num_embeddings,

@@ -13,12 +13,36 @@ Note ``|x|^2`` is constant across codes, so the argmin only needs
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
 import jax.numpy as jnp
 
 _IMPL_ENV = "VQVAE_TPU_VQ_IMPL"  # 'xla' | 'pallas' | 'auto'
+
+_FORCED_IMPL: list = []
+
+
+@contextlib.contextmanager
+def forced_impl(impl: str):
+    """Trace-time override of the VQ dispatch (beats the env var; explicit
+    ``impl=`` arguments still win). Used by paths where the Pallas custom
+    call cannot run, e.g. GSPMD spatial partitioning (XLA cannot partition
+    a custom call and would all-gather its operands)."""
+    _FORCED_IMPL.append(impl)
+    try:
+        yield
+    finally:
+        _FORCED_IMPL.pop()
+
+
+def _dispatch_impl(impl):
+    if impl:
+        return impl
+    if _FORCED_IMPL:
+        return _FORCED_IMPL[-1]
+    return os.environ.get(_IMPL_ENV, "auto")
 
 
 def _nearest_codes_xla(flat_x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
@@ -50,7 +74,7 @@ def nearest_codes(flat_x: jnp.ndarray, codebook: jnp.ndarray,
     Returns:
       (M,) int32 indices.
     """
-    impl = impl or os.environ.get(_IMPL_ENV, "auto")
+    impl = _dispatch_impl(impl)
     # code assignment is non-differentiable by construction (integer argmin;
     # the quantizer losses route gradients through the codebook LOOKUP, not
     # the assignment) — stop_gradient makes that explicit and keeps the
@@ -97,7 +121,7 @@ def nearest_codes_stats(flat_x: jnp.ndarray, codebook: jnp.ndarray,
     (M, N) one-hot in HBM. Dispatch rules match ``nearest_codes``, plus a
     VMEM-footprint gate for the fused kernel's resident codebook/dw blocks.
     """
-    impl = impl or os.environ.get(_IMPL_ENV, "auto")
+    impl = _dispatch_impl(impl)
     # non-differentiable like nearest_codes: counts/dw feed the EMA state
     # update (buffers, never differentiated); see the note there
     flat_x = jax.lax.stop_gradient(flat_x)

@@ -1,0 +1,76 @@
+"""Spatial (image-height) sharding for high-resolution tokenizer inference.
+
+The reference has no equivalent: its "long context" axis is image
+resolution, which it can only scale until one GPU's memory runs out
+(SURVEY §5 "long-context: N/A — scales through conv locality"). On TPU the
+idiomatic answer is GSPMD **spatial partitioning**: jit the inference API
+with the image HEIGHT dimension sharded across the mesh and let XLA insert
+the conv halo exchanges (and the GroupNorm all-reduces) automatically over
+ICI. Activations then scale ~1/n_devices per chip, so a v5e-8 tokenizes
+images whose activation footprint would OOM a single chip.
+
+Pure-convolutional locality is exactly what makes this exact: every op in
+the encoder/decoder is either elementwise, a conv (finite halo), a pool
+(aligned to the shard grid for H % (2^levels * n_shards) == 0), or a global
+reduction (GroupNorm statistics) that GSPMD turns into an all-reduce.
+Outputs are replicated (tokens are tiny next to the images).
+
+The VQ code-assignment runs with the XLA matmul path inside this jit: a
+Pallas custom call is opaque to the GSPMD partitioner, which would have to
+all-gather its operands (ops/vq.py forced_impl).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vqvae_tpu.ops.vq import forced_impl
+
+
+def make_spatial_apply(model, variables, mesh: Mesh, method: str = "get_tokens",
+                       axis: str = "data", **method_kw):
+    """Jitted ``fn(images) -> output`` with images [B, H, W, C] sharded on H.
+
+    Args:
+      model: the VQVAE flax module.
+      variables: its variable collections (replicated across the mesh).
+      mesh: device mesh; ``axis`` names the dimension H is sharded over.
+      method: inference API method — 'get_tokens', 'quantize', 'reconstruct',
+        or 'reconstruct_from_tokens' (the latter shards the token grid's
+        height instead).
+      method_kw: static keyword args forwarded to the method (e.g.
+        ``deterministic=True`` for the gumbel tokenizer).
+
+    H must be divisible by n_shards * 2**len(channel_multipliers) so every
+    pooling level stays aligned to the shard grid.
+    """
+    n_shards = mesh.shape[axis]
+
+    if method == "reconstruct_from_tokens":
+        # tokens are (B, S) with S = h*w — shard the flattened token rows;
+        # the decoder's latent reshape then puts the split on latent H
+        in_spec = P(None, axis)
+    else:
+        in_spec = P(None, axis, None, None)
+
+    def fn(variables, x):
+        with forced_impl("xla"):
+            return model.apply(variables, x, method=method, **method_kw)
+
+    jitted = jax.jit(
+        fn,
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, in_spec)),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+    def apply(images):
+        h = images.shape[1]
+        if method != "reconstruct_from_tokens" and h % n_shards != 0:
+            raise ValueError(
+                f"image height {h} not divisible by {n_shards} '{axis}' shards")
+        return jitted(variables, images)
+
+    return apply
