@@ -78,5 +78,9 @@ def test_spatial_rejects_unaligned_height(mesh4):
     model, variables = _make_model("standard")
     fn = make_spatial_apply(model, variables, mesh4, method="get_tokens")
     bad = jnp.zeros((1, 30, IMG, 3), jnp.float32)
-    with pytest.raises(ValueError, match="not divisible"):
+    with pytest.raises(ValueError, match="divisible"):
         fn(bad)
+    # aligned to shards but NOT to shards*2^levels (4*4=16) must also reject
+    bad2 = jnp.zeros((1, 20, IMG, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        fn(bad2)

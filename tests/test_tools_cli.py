@@ -57,7 +57,9 @@ def trained_run(tmp_path_factory):
     return root, conf, data
 
 
-def test_tokenize_dataset_cli(trained_run):
+@pytest.fixture(scope="module")
+def reference_tokens(trained_run):
+    """Non-spatial CLI run shared by both tests (no inter-test ordering)."""
     root, conf, data = trained_run
     out = root / "tokens"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -70,6 +72,11 @@ def test_tokenize_dataset_cli(trained_run):
          "--batch_size", "8",
          "--output_folder", str(out)],
         capture_output=True, text=True, timeout=900, env=env)
+    return out, res
+
+
+def test_tokenize_dataset_cli(reference_tokens):
+    out, res = reference_tokens
     assert res.returncode == 0, res.stderr[-2000:]
 
     manifest = json.loads((out / "manifest.json").read_text())
@@ -81,10 +88,11 @@ def test_tokenize_dataset_cli(trained_run):
     assert val.shape == (6, 16)
 
 
-def test_tokenize_dataset_cli_spatial(trained_run):
+def test_tokenize_dataset_cli_spatial(trained_run, reference_tokens):
     """--spatial over 4 virtual devices must produce identical tokens."""
     root, conf, data = trained_run
-    out = root / "tokens"          # the non-spatial reference run's output
+    out, ref_res = reference_tokens
+    assert ref_res.returncode == 0, ref_res.stderr[-2000:]
     out_sp = root / "tokens_spatial"
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=4")

@@ -88,13 +88,13 @@ def report(logdir: str, top_n: int = 40, n_steps: int = 4,
         t = (c[idx["total_self_time"]]["v"] or 0) / (1000.0 * n_steps)  # ms
         fr = c[idx["normalized_flop_rate"]]["v"] or 0                   # GF/s
         bw = c[idx["measured_memory_bw"]]["v"] or 0                     # GB/s
-        cat = c[idx["category"]]["v"]
+        cat = c[idx["category"]]["v"] or "?"
         eff = max(fr / peak_tflops, bw / peak_gbps)
         waste = t * (1 - min(eff, 1.0)) if eff > 0 else 0.0
         src = (c[idx["source_info"]]["v"] or "")  # html-wrapped path:line
         m = re.findall(r"([\w.-]+\.\w+:\d+)", src)
         src = m[-1] if m else ""
-        rows.append((t, waste, fr / 1e3, bw, c[idx["hlo_op_name"]]["v"],
+        rows.append((t, waste, fr / 1e3, bw, c[idx["hlo_op_name"]]["v"] or "?",
                      cat, src))
         tot += t
         waste_tot += waste

@@ -66,11 +66,23 @@ def make_spatial_apply(model, variables, mesh: Mesh, method: str = "get_tokens",
         out_shardings=NamedSharding(mesh, P()),
     )
 
+    # every pooling level must stay aligned to the shard grid
+    levels = len(getattr(model, "channel_multipliers", ()) or ())
+    h_align = n_shards * (2 ** levels)
+
     def apply(images):
-        h = images.shape[1]
-        if method != "reconstruct_from_tokens" and h % n_shards != 0:
-            raise ValueError(
-                f"image height {h} not divisible by {n_shards} '{axis}' shards")
+        if method == "reconstruct_from_tokens":
+            hw = int(round(images.shape[1] ** 0.5))
+            if hw % n_shards != 0:
+                raise ValueError(
+                    f"token grid height {hw} not divisible by {n_shards} "
+                    f"'{axis}' shards")
+        else:
+            h = images.shape[1]
+            if h % h_align != 0:
+                raise ValueError(
+                    f"image height {h} must be divisible by n_shards * "
+                    f"2**levels = {n_shards} * {2 ** levels} = {h_align}")
         return jitted(variables, images)
 
     return apply

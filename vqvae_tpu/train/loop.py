@@ -361,8 +361,10 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
                 logger.log_images(panel, int(state.step),
                                   "train/reconstructions")
 
-        metrics = {k: float(v) / max(n_batches, 1)
-                   for k, v in (metric_sums or {}).items()}
+        # ONE device->host transfer for the whole epoch-sum tree (per-key
+        # float() would pay a tunnel round-trip per metric)
+        fetched = jax.device_get(metric_sums) if metric_sums else {}
+        metrics = {k: float(v) / max(n_batches, 1) for k, v in fetched.items()}
         # logged LR comes from the HOST-side native (C++) scheduler — the
         # runtime-of-record twin of the in-jit schedule (pinned by
         # test_schedules); value at the epoch's last completed step

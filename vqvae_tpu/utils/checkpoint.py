@@ -50,6 +50,13 @@ class CheckpointManager:
         # single-writer-per-shard internally and expects all processes.
         if path.exists():
             shutil.rmtree(path, ignore_errors=True)
+            if path.exists():
+                # surface removal failures HERE (held-open files, NFS silly
+                # renames) rather than as an opaque orbax overwrite error
+                # after the barrier
+                raise RuntimeError(
+                    f"could not clear stale checkpoint dir {path} before "
+                    "save (files held open by another process?)")
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"ckpt_clear:{path.name}")
