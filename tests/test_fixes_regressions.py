@@ -162,3 +162,20 @@ def test_remat_estimate_calibration():
     raw["training"]["grad_accum_steps"] = 8
     cfg8 = parse_config(raw)
     assert estimate_activation_gb(cfg8, 256) < 12.0     # micro-batch 32
+
+
+def test_xla_compiler_options_parsing(monkeypatch):
+    """VQVAE_TPU_XLA_OPTS: k=v list parse, 'none' disable, TPU-only default."""
+    from vqvae_tpu.train.steps import _xla_compiler_options
+
+    monkeypatch.setenv("VQVAE_TPU_XLA_OPTS",
+                       "xla_tpu_scoped_vmem_limit_kib=32768, foo=bar")
+    assert _xla_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768", "foo": "bar"}
+
+    monkeypatch.setenv("VQVAE_TPU_XLA_OPTS", "none")
+    assert _xla_compiler_options() is None
+
+    # unset -> default applies only on TPU backends (None on the CPU tests)
+    monkeypatch.delenv("VQVAE_TPU_XLA_OPTS", raising=False)
+    assert _xla_compiler_options() is None
