@@ -91,7 +91,11 @@ def _xla_compiler_options() -> Optional[dict]:
 
     spec = os.environ.get("VQVAE_TPU_XLA_OPTS", "").strip()
     if not spec:
-        if jax.default_backend() in ("tpu", "axon"):
+        try:
+            backend = jax.default_backend()
+        except Exception:  # backend init failure must not take the caller down
+            return None
+        if backend in ("tpu", "axon"):
             return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
         return None
     if spec.lower() == "none":
