@@ -219,3 +219,22 @@ def test_nearest_codes_stats_dispatcher_oracle():
     exp = _nearest_codes_stats_xla(jnp.asarray(x), jnp.asarray(cb))
     for g, e in zip(got, exp):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), rtol=1e-6)
+
+
+def test_vq_forced_impl_override(monkeypatch):
+    """ops.vq.forced_impl beats the env var; explicit impl= still wins."""
+    import numpy as np
+
+    from vqvae_tpu.ops import vq
+
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 4).astype(np.float32))
+    cb = jnp.asarray(np.random.RandomState(1).randn(5, 4).astype(np.float32))
+
+    monkeypatch.setenv("VQVAE_TPU_VQ_IMPL", "pallas")
+    with vq.forced_impl("xla"):
+        # env says pallas (which would raise on CPU via nearest_codes_stats's
+        # strict path); the override routes to the XLA oracle
+        codes, counts, dw = vq.nearest_codes_stats(x, cb)
+    assert codes.shape == (8,)
+    # nesting restores the previous override on exit
+    assert vq._dispatch_impl(None) == "pallas"
