@@ -21,10 +21,69 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+METRIC = ("train images/sec/chip, 256^2 gumbel VQGAN "
+          "(LPIPS + StyleGAN2 D + R1/16)")
+
+
+def _emit_unavailable(reason: str) -> None:
+    """One parseable JSON line instead of a traceback when the accelerator
+    is unreachable (round-2 BENCH crashed rc=1 on a dead axon tunnel)."""
+    print(json.dumps({"metric": METRIC, "value": 0.0,
+                      "unit": "images/sec/chip", "vs_baseline": 0.0,
+                      "unavailable": reason}))
+
+
+def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
+    """Wait (bounded) until JAX backend init succeeds.
+
+    The axon tunnel has 15-60+ min outages during which backend init either
+    raises UNAVAILABLE or — worse — blocks forever. A hung init cannot be
+    cancelled in-process, so each probe runs in a SUBPROCESS under a timeout;
+    only after a probe executes a real device op does this process touch the
+    backend itself.
+    """
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+             "print(float((x @ x).sum()))")
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = min(probe_timeout_s, max(deadline - time.monotonic(), 30.0))
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=budget, capture_output=True, text=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] backend up after {attempt} probes",
+                          file=sys.stderr)
+                return True
+            err = (r.stderr or "").strip().splitlines()
+            print(f"[bench] probe {attempt} rc={r.returncode}: "
+                  f"{err[-1] if err else '?'}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] probe {attempt} hung >{budget:.0f}s (tunnel "
+                  "black-hole)", file=sys.stderr)
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(min(60.0, max(deadline - time.monotonic(), 1.0)))
 
 
 def main():
+    # bounded wait-and-retry BEFORE any in-process backend touch; the driver
+    # invokes this file directly, so outage resilience must live here (not
+    # in tools/bench_sweep.sh)
+    max_wait = float(os.environ.get("VQGAN_BENCH_WAIT_S", 1200))
+    if not _wait_for_backend(max_wait):
+        _emit_unavailable(
+            f"accelerator backend init failed/hung for {max_wait:.0f}s "
+            "(axon tunnel outage); no measurement taken")
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -125,7 +184,7 @@ def main():
     baseline = float(os.environ.get("VQGAN_A100_BASELINE_IPS", 90.0))
 
     result = {
-        "metric": "train images/sec/chip, 256^2 gumbel VQGAN (LPIPS + StyleGAN2 D + R1/16)",
+        "metric": METRIC,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
@@ -191,4 +250,11 @@ def _bench_plain(base_raw, q_type: str, image_size: int, jnp):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001
+        # late failure (tunnel died mid-run): keep the stdout contract — one
+        # parseable JSON line; the traceback goes to stderr for debugging
+        import traceback
+        traceback.print_exc()
+        _emit_unavailable(f"bench failed: {type(exc).__name__}: {exc}"[:300])

@@ -1,0 +1,126 @@
+"""Driver entry points must be outage-proof (round-2 regression).
+
+Round 2's driver artifacts scored zero because both entry points touched the
+axon TPU backend during a tunnel outage: ``dryrun_multichip`` probed
+``jax.devices()`` first (backend init BLOCKED -> rc=124 timeout) and
+``bench.py`` called ``jax.default_backend()`` unguarded (init raised ->
+rc=1). These tests pin the fixes:
+
+- step construction with no backend initialized is backend-silent;
+- ``dryrun_multichip`` never initializes any non-CPU backend, even without
+  the pytest conftest's CPU forcing;
+- ``bench.py`` emits one parseable JSON line with an ``unavailable`` marker
+  (never a traceback) when the accelerator stays unreachable.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    """Env without the conftest's CPU forcing — what the driver process sees."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("VQVAE_TPU_XLA_OPTS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split() if "host_platform_device_count" not in f)
+    return env
+
+
+def test_compiler_options_backend_silent():
+    """_xla_compiler_options with no backend initialized returns None WITHOUT
+    triggering backend init (a hanging init is not an exception)."""
+    code = textwrap.dedent("""
+        from vqvae_tpu.train.steps import _xla_compiler_options, \\
+            _initialized_backend
+        assert _initialized_backend() is None
+        assert _xla_compiler_options() is None
+        from jax._src import xla_bridge as xb
+        assert not xb._backends, list(xb._backends)  # still uninitialized
+        print("SILENT_OK")
+    """)
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                       env=_clean_env(), capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "SILENT_OK" in r.stdout
+
+
+def test_compiler_options_tpu_default(monkeypatch):
+    """With an initialized TPU backend the scoped-vmem default applies."""
+    import jax
+
+    from vqvae_tpu.train import steps
+
+    monkeypatch.delenv("VQVAE_TPU_XLA_OPTS", raising=False)
+    jax.devices()  # ensure the (cpu) backend registry is non-empty
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert steps._xla_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def test_dryrun_multichip_never_dials_tpu():
+    """dryrun_multichip runs hermetically on the virtual CPU platform: after
+    a full dryrun, the ONLY initialized backend is 'cpu' — even when the
+    process env does not force CPU (the driver invokes it without conftest).
+    """
+    code = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, %r)
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(2)
+        from jax._src import xla_bridge as xb
+        assert set(xb._backends) == {"cpu"}, list(xb._backends)
+        print("HERMETIC_OK")
+    """ % REPO)
+    # timeout is the regression signal: the round-2 failure mode was a hang
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                       env=_clean_env(), capture_output=True, text=True,
+                       timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "HERMETIC_OK" in r.stdout
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_unavailable_emits_json(monkeypatch, capsys):
+    """When every backend probe fails, bench.main() prints ONE parseable JSON
+    line with an explicit 'unavailable' marker and returns (no traceback)."""
+    bench = _load_bench()
+
+    def probe_always_hangs(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=kw.get("timeout", 0))
+
+    monkeypatch.setattr(bench.subprocess if hasattr(bench, "subprocess")
+                        else subprocess, "run", probe_always_hangs)
+    monkeypatch.setenv("VQGAN_BENCH_WAIT_S", "1")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    result = json.loads(out[-1])
+    assert "unavailable" in result
+    assert result["value"] == 0.0 and result["vs_baseline"] == 0.0
+    assert result["unit"] == "images/sec/chip"
+
+
+def test_bench_wait_for_backend_success(monkeypatch):
+    bench = _load_bench()
+
+    class _OK:
+        returncode = 0
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **kw: _OK())
+    assert bench._wait_for_backend(max_wait_s=5) is True

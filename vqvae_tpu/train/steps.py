@@ -77,6 +77,18 @@ from vqvae_tpu.train.state import TrainState
 AXIS = "data"
 
 
+def _initialized_backend() -> Optional[str]:
+    """Default-backend name IF a backend is already initialized, else None —
+    guaranteed never to trigger (or block on) backend initialization."""
+    try:
+        from jax._src import xla_bridge as _xb
+        if not _xb._backends:  # registry empty -> nothing initialized yet
+            return None
+        return jax.default_backend()
+    except Exception:
+        return None
+
+
 def _xla_compiler_options() -> Optional[dict]:
     """Per-step XLA compiler options (TPU tuning knobs that this environment
     cannot receive via XLA_FLAGS). Override with VQVAE_TPU_XLA_OPTS
@@ -91,10 +103,12 @@ def _xla_compiler_options() -> Optional[dict]:
 
     spec = os.environ.get("VQVAE_TPU_XLA_OPTS", "").strip()
     if not spec:
-        try:
-            backend = jax.default_backend()
-        except Exception:  # backend init failure must not take the caller down
-            return None
+        # consult the backend ONLY if one is already initialized: a hanging
+        # axon init is not an exception (round-2 MULTICHIP rc=124), so step
+        # construction must never be the first backend touch. Callers that
+        # want the TPU default initialize the backend first (bench.py does);
+        # hermetic CPU paths (dryrun_multichip) set VQVAE_TPU_XLA_OPTS=none.
+        backend = _initialized_backend()
         if backend in ("tpu", "axon"):
             return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
         return None
