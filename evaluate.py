@@ -32,6 +32,13 @@ def parse_args():
                         help='force single-device eval even on a multi-chip '
                              'host (the reference evaluates on one GPU, '
                              'evaluate.py:56; default here is the data mesh)')
+    parser.add_argument('--allow_missing_rfid', action='store_true',
+                        help='proceed without rFID when FID-inception weights '
+                             'are not converted; WITHOUT this flag a missing '
+                             'weights file is a hard error (rFID is the '
+                             'reference test suite\'s headline metric, '
+                             'model.py:497,536-541 — it must never be '
+                             'silently omitted)')
     return parser.parse_args()
 
 
@@ -99,6 +106,23 @@ def evaluate_checkpoint(cfg, state, trainer, test_loader, *, verbose=True):
 
 def main():
     args = parse_args()
+
+    # fail FAST and LOUD when the north-star metric can't be computed —
+    # before any backend/dataset work, so a quality run can never get
+    # minutes in and then silently report without rFID
+    if not args.allow_missing_rfid:
+        from vqvae_tpu.eval.fid import inception_weights_path
+        path = inception_weights_path()
+        if not path.exists():
+            import sys
+            sys.exit(
+                f"ERROR: FID-inception weights not found at {path} — rFID "
+                "(the reference's headline quality metric) cannot be "
+                "computed.\nConvert them on a connected machine with:\n"
+                "    python tools/convert_inception_weights.py "
+                f"--out {path}\n(or tools/fetch_and_convert_all.sh for the "
+                "full set), copy the file here, or re-run with "
+                "--allow_missing_rfid to evaluate without rFID.")
 
     from vqvae_tpu.parallel.mesh import distributed_init_if_needed
     distributed_init_if_needed()

@@ -197,3 +197,27 @@ def test_evaluate_checkpoint_mesh_matches_single(tmp_path):
     for k in r_single:
         np.testing.assert_allclose(r_single[k], r_mesh[k], rtol=2e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_evaluate_cli_requires_rfid(monkeypatch, tmp_path):
+    """Missing inception weights must be a LOUD failure (exit with a message
+    naming the converter command), not a silent rFID skip — unless the user
+    explicitly opts out with --allow_missing_rfid."""
+    import evaluate
+
+    monkeypatch.setenv("VQVAE_TPU_INCEPTION_WEIGHTS",
+                       str(tmp_path / "missing.npz"))
+    argv = ["evaluate.py", "--params_file", str(tmp_path / "nope.yaml"),
+            "--dataset_path", str(tmp_path), "--batch_size", "8",
+            "--seed", "0", "--loading_path", str(tmp_path / "ckpt")]
+
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit) as exc:
+        evaluate.main()
+    assert "convert_inception_weights" in str(exc.value)
+
+    # with the opt-in flag the gate passes; the run then fails LATER on the
+    # (deliberately bogus) params file instead
+    monkeypatch.setattr(sys, "argv", argv + ["--allow_missing_rfid"])
+    with pytest.raises((FileNotFoundError, OSError)):
+        evaluate.main()
