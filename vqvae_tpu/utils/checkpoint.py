@@ -15,6 +15,7 @@ and the step counter exactly.
 from __future__ import annotations
 
 import shutil
+import time
 from pathlib import Path
 from typing import Optional
 
@@ -50,24 +51,44 @@ class CheckpointManager:
         # single-writer-per-shard internally and expects all processes.
         if path.exists():
             shutil.rmtree(path, ignore_errors=True)
-            if path.exists():
-                # surface removal failures HERE (held-open files, NFS silly
-                # renames) rather than as an opaque orbax overwrite error
-                # after the barrier
-                raise RuntimeError(
-                    f"could not clear stale checkpoint dir {path} before "
-                    "save (files held open by another process?)")
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"ckpt_clear:{path.name}")
+        # verify AFTER the barrier: on a shared filesystem a peer's rmtree
+        # may still be in flight before the sync (ours no-ops via
+        # ignore_errors), so a pre-barrier exists() check could observe a
+        # half-deleted dir and abort a routine save. Post-barrier, retry with
+        # a short backoff (NFS silly-rename cleanup is asynchronous) before
+        # declaring a real failure — surfaced HERE rather than as an opaque
+        # orbax overwrite error.
+        for _ in range(3):
+            if not path.exists():
+                break
+            shutil.rmtree(path, ignore_errors=True)
+            time.sleep(0.2)
+        if path.exists():
+            raise RuntimeError(
+                f"could not clear stale checkpoint dir {path} before "
+                "save (files held open by another process?)")
         self._ckpt.save(str(path), payload)
 
     def restore(self, path: str, template_state: TrainState):
         """Restore a snapshot; `template_state` supplies the pytree structure
-        and shardings (abstract restore)."""
+        and the destination shardings.
+
+        Every restored leaf is explicitly re-placed on the template leaf's
+        sharding: orbax hands back arrays in its own (single-device/host)
+        layout, so without this a resume under a device mesh fails with
+        mixed-device jit arguments — and a snapshot written under one
+        topology could not continue under another (topology-change resume,
+        pinned by test_topology_resume)."""
         template = self._payload(template_state, 0)
         restored = self._ckpt.restore(str(Path(path)), item=template)
-        return restored["state"], int(restored["epoch"])
+        state = jax.tree.map(
+            lambda x, t: (jax.device_put(x, t.sharding)
+                          if isinstance(t, jax.Array) else x),
+            restored["state"], template_state)
+        return state, int(restored["epoch"])
 
 
 def restore_for_eval(path: str, template_state: TrainState) -> TrainState:
