@@ -82,10 +82,26 @@ def nearest_codes(flat_x: jnp.ndarray, codebook: jnp.ndarray,
     # so a train step differentiating past an un-annotated call would fail)
     flat_x = jax.lax.stop_gradient(flat_x)
     codebook = jax.lax.stop_gradient(codebook)
+    if impl == "pallas" and not _pallas_ok(flat_x, codebook):
+        # explicit request must fail descriptively, not with an opaque
+        # lowering error — mirrors nearest_codes_stats dispatch semantics
+        raise ValueError(
+            "impl='pallas' requested but the VQ Pallas kernel cannot run "
+            f"here (backend={_backend_name()!r}, shapes M={flat_x.shape[0]} "
+            f"D={flat_x.shape[1]} N={codebook.shape[0]}; needs a TPU backend "
+            "and M%256==0, N%128==0, D%128==0)")
     if impl == "pallas" or (impl == "auto" and _pallas_ok(flat_x, codebook)):
         from vqvae_tpu.ops.vq_pallas import nearest_codes_pallas
         return nearest_codes_pallas(flat_x, codebook)
     return _nearest_codes_xla(flat_x, codebook)
+
+
+def _backend_name() -> str:
+    """Backend name for error messages; never takes the caller down."""
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "uninitialized"
 
 
 def _pallas_ok(flat_x, codebook) -> bool:
@@ -132,7 +148,7 @@ def nearest_codes_stats(flat_x: jnp.ndarray, codebook: jnp.ndarray,
         # matching nearest_codes dispatch semantics)
         raise ValueError(
             "impl='pallas' requested but the fused VQ kernel cannot run here "
-            f"(backend={jax.default_backend()!r}, shapes M={flat_x.shape[0]} "
+            f"(backend={_backend_name()!r}, shapes M={flat_x.shape[0]} "
             f"D={flat_x.shape[1]} N={codebook.shape[0]}; needs a TPU backend "
             "and M%256==0, N%128==0, D%128==0)")
     if impl != "xla" and _pallas_ok(flat_x, codebook):

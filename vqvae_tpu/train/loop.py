@@ -328,6 +328,25 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
                       steps_per_epoch=steps_per_epoch, mesh=mesh,
                       compute_dtype=compute_dtype,
                       per_device_batch=per_dev)
+    try:
+        state = _run_epochs(trainer, train_loader, val_loader,
+                            save_dir=save_dir, run_name=run_name,
+                            save_every_n_epochs=save_every_n_epochs,
+                            logger=logger, resume_path=resume_path,
+                            max_epochs=max_epochs,
+                            check_val_every=check_val_every,
+                            log_recon_batch=log_recon_batch)
+    finally:
+        # explicit native-scheduler teardown (reference on_train_end,
+        # model.py:305-307 scheduler.destroy()) — also on error paths, so
+        # the advertised destroy() lifecycle never falls back to __del__
+        trainer.native_lr.destroy()
+    return state, trainer
+
+
+def _run_epochs(trainer, train_loader, val_loader, *, save_dir,
+                run_name, save_every_n_epochs, logger, resume_path,
+                max_epochs, check_val_every, log_recon_batch):
     state = trainer.init_state()
     ckpt = CheckpointManager(save_dir, run_name, save_every_n_epochs)
     logger = logger or MetricLogger(save_dir, run_name)
@@ -388,10 +407,7 @@ def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
         state = trainer.reset_usage(state)
         ckpt.save(state, epoch)
 
-    # explicit native-scheduler teardown (reference on_train_end,
-    # model.py:305-307 scheduler.destroy())
-    trainer.native_lr.destroy()
-    return state, trainer
+    return state
 
 
 def run_validation(trainer, state, val_loader, epoch, logger=None,
