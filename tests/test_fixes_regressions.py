@@ -179,3 +179,50 @@ def test_xla_compiler_options_parsing(monkeypatch):
     # unset -> default applies only on TPU backends (None on the CPU tests)
     monkeypatch.delenv("VQVAE_TPU_XLA_OPTS", raising=False)
     assert _xla_compiler_options() is None
+
+
+def test_pad_conv_out_exact(monkeypatch):
+    """VQVAE_TPU_PAD_CONV_OUT=1 (decoder final conv computed at 8 padded
+    output lanes) leaves parameters/checkpoint paths identical and is
+    numerically equivalent to fp32 accumulation-order tolerance: the
+    padded channel count changes how XLA tiles/reassociates the conv
+    reductions inside the fused decoder, so outputs and gradients agree
+    to rounding, not bit-exactly (the padded channels themselves are
+    exactly zero — the math is the same, the summation order is not)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvae_tpu.models.autoencoder import Decoder
+
+    def build(flag):
+        monkeypatch.setenv("VQVAE_TPU_PAD_CONV_OUT", flag)
+        dec = Decoder(channels=32, num_res_blocks=1,
+                      channel_multipliers=[1, 2], embedding_dim=8)
+        z = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 8),
+                        jnp.float32)
+        params = dec.init(jax.random.PRNGKey(0), z)["params"]
+
+        def loss(p):
+            y = dec.apply({"params": p}, z)
+            return jnp.sum(y * y), y
+
+        (l, y), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+        return params, l, y, g
+
+    p0, l0, y0, g0 = build("0")
+    p1, l1, y1, g1 = build("1")
+
+    # identical param trees (paths AND init values)
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=2e-6)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree.leaves(g1)
+    for (path, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))

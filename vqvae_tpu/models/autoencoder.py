@@ -55,18 +55,37 @@ def conv_bias_init_for(fan_in: int):
 
 
 class Conv(nn.Module):
-    """3x3/1x1 'same' convolution with torch-default init, NHWC."""
+    """3x3/1x1 'same' convolution with torch-default init, NHWC.
+
+    ``pad_features``: compute the conv with the output channels zero-padded
+    to this many lanes, then slice back to ``features``. Used for the
+    decoder's final C=3 conv (reference autoencoder.py:178 to_rgb), whose
+    3-channel output tail under-fills the TPU's 8-sublane register tiles in
+    the forward AND gives the backward a 3-channel cotangent for both
+    transpose convs. The padded channels are identically zero — the math
+    is unchanged — but the channel count changes how XLA tiles/reassociates
+    the conv reductions, so outputs/gradients are equivalent to fp32
+    rounding, not bit-exact (pinned by test_pad_conv_out_exact). Parameter
+    shapes and checkpoint paths (conv_out/Conv_0/{kernel,bias}) unchanged.
+    """
 
     features: int
     kernel_size: int = 3
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    pad_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         in_ch = x.shape[-1]
         bias_init = conv_bias_init_for(in_ch * k * k)
+        if self.pad_features is not None and self.pad_features > self.features:
+            return _PaddedOutConv(
+                features=self.features, pad_to=self.pad_features,
+                kernel_size=(k, k), use_bias=self.use_bias, dtype=self.dtype,
+                kernel_init=conv_kernel_init, bias_init=bias_init,
+                name="Conv_0")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -78,6 +97,42 @@ class Conv(nn.Module):
             kernel_init=conv_kernel_init,
             bias_init=bias_init,
         )(x)
+
+
+class _PaddedOutConv(nn.Module):
+    """nn.Conv-compatible 'same' conv computed at ``pad_to`` output lanes.
+
+    Declares the SAME params as the nn.Conv it replaces (kernel
+    (kh,kw,in,features) fp32, bias (features,)) under the same module name,
+    pads both with zeros to ``pad_to`` channels for the compute, and slices
+    the result. See Conv.pad_features for the rationale/exactness argument.
+    """
+
+    features: int
+    pad_to: int
+    kernel_size: tuple
+    use_bias: bool
+    dtype: Dtype
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, in_ch, self.features), jnp.float32)
+        pad = self.pad_to - self.features
+        kp = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init,
+                              (self.features,), jnp.float32)
+            y = y + jnp.pad(bias, (0, pad)).astype(self.dtype)
+        return y[..., :self.features]
 
 
 class GroupNorm(nn.Module):
@@ -524,5 +579,10 @@ class Decoder(nn.Module):
             x = Upsample(ch_out, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
         x = GNSiLU(dtype=self.dtype, name="norm_out")(x)
-        x = Conv(3, 3, use_bias=True, dtype=self.dtype, name="conv_out")(x)
+        # pad-to-8 output lanes: opt-in pending an on-chip A/B (ROADMAP
+        # candidate; ~1 ms estimate). Rounding-equivalent and checkpoint-
+        # path-preserving; parity pinned by test_pad_conv_out_exact.
+        pad = 8 if os.environ.get("VQVAE_TPU_PAD_CONV_OUT", "0") == "1" else None
+        x = Conv(3, 3, use_bias=True, dtype=self.dtype, pad_features=pad,
+                 name="conv_out")(x)
         return jnp.tanh(x.astype(jnp.float32))
