@@ -46,7 +46,15 @@ def parse_args():
                     help="shard each image's HEIGHT across all devices "
                          "(GSPMD spatial partitioning, automatic conv halo "
                          "exchange) — for resolutions whose activations "
-                         "exceed one chip's HBM; deterministic tokens only")
+                         "exceed one chip's HBM; deterministic tokens only. "
+                         "Encoder activation footprint is roughly "
+                         "4*H*W*channels*2 bytes (bf16) per image — ~0.8 GB "
+                         "at 1024^2/ch128, ~3.4 GB at 2048^2, ~13 GB at "
+                         "4096^2 (single-chip ceiling on 16 GB; measured "
+                         "probe: tools/probe_max_resolution.py); sharding H "
+                         "over n chips divides that by ~n. NOTE: exactness "
+                         "is pinned on the CPU mesh, multi-chip ICI "
+                         "performance is unmeasured on this 1-chip box")
     return ap.parse_args()
 
 
