@@ -74,6 +74,30 @@ def test_spatial_reconstruct_from_tokens(mesh4):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_spatial_output_shardings(mesh4):
+    """Token outputs are replicated (tiny); full-resolution image outputs of
+    the reconstruct methods stay H-sharded — a replicated image output would
+    reintroduce the single-chip memory ceiling spatial sharding exists to
+    avoid (round-2 review finding)."""
+    model, variables = _make_model("standard")
+    images = jnp.asarray(np.random.RandomState(3).rand(2, IMG, IMG, 3)
+                         .astype(np.float32))
+
+    tokens = make_spatial_apply(model, variables, mesh4,
+                                method="get_tokens")(images)
+    assert tokens.sharding.is_fully_replicated
+
+    recon = make_spatial_apply(model, variables, mesh4,
+                               method="reconstruct")(images)
+    assert not recon.sharding.is_fully_replicated
+    spec = recon.sharding.spec
+    assert spec[1] is not None and all(s is None for i, s in enumerate(spec)
+                                       if i != 1), spec
+    # each device holds only its H-slab: addressable shard height = H/4
+    shard_shapes = {s.data.shape for s in recon.addressable_shards}
+    assert shard_shapes == {(2, IMG // 4, IMG, 3)}
+
+
 def test_spatial_rejects_unaligned_height(mesh4):
     model, variables = _make_model("standard")
     fn = make_spatial_apply(model, variables, mesh4, method="get_tokens")
