@@ -24,6 +24,7 @@ is available via ``dtype`` for throughput experiments.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import jax
@@ -94,7 +95,15 @@ class Conv2dLayer(nn.Module):
 
         weight_gain = 1.0 / math.sqrt(in_channels * k * k)
         w = (w * weight_gain).astype(self.dtype)
-        f = setup_filter(RESAMPLE_FILTER) if (self.up > 1 or self.down > 1) else None
+        f = None
+        if self.up > 1 or self.down > 1:
+            # VQVAE_TPU_SEPARABLE_FIR=1 lowers the [1,3,3,1] low-pass as two
+            # 1-D depthwise convs instead of one outer-product [4,4] conv —
+            # half the FIR arithmetic, identical math (the filter is an outer
+            # product); whether XLA's fusion landscape improves or a full-res
+            # intermediate materializes is an empirical A/B (PERFORMANCE.md).
+            separable = os.environ.get("VQVAE_TPU_SEPARABLE_FIR", "0") == "1"
+            f = setup_filter(RESAMPLE_FILTER, separable=separable or None)
 
         x = conv2d_resample(x.astype(self.dtype), w, f=f, up=self.up,
                             down=self.down, padding=k // 2,

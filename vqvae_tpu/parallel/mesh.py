@@ -26,8 +26,23 @@ def distributed_init_if_needed():
     """Multi-host init from standard env vars (no-op single-host).
 
     Replaces Lightning's NODE_RANK/DDP bootstrap (reference train.py:53,128).
+
+    Also honors VQVAE_TPU_PLATFORM (e.g. "cpu") / VQVAE_TPU_CPU_DEVICES=N:
+    the JAX_PLATFORMS env var is ineffective on this stack (the axon TPU
+    plugin re-registers itself), so CLIs need an in-process
+    ``jax.config.update`` BEFORE the first backend touch. This is the knob
+    that lets train/evaluate run hermetically during accelerator-tunnel
+    outages (the same failure mode the driver entry points guard against).
     """
     import os
+    plat = os.environ.get("VQVAE_TPU_PLATFORM", "").strip().lower()
+    if plat:
+        jax.config.update("jax_platforms", plat)
+        n = os.environ.get("VQVAE_TPU_CPU_DEVICES", "").strip()
+        if n and plat == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(n))
+        if plat == "cpu":
+            os.environ.setdefault("VQVAE_TPU_XLA_OPTS", "none")
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
