@@ -14,6 +14,9 @@ Checks:
   3. upfirdn2d adjoint: <f(x), y> == <x, f^T(y)> (VJP is the true transpose).
   4. GroupNorm (unbiased, fp32 stats) == numpy reference formula.
   5. bias_act activation table == jnp reference formulas.
+  6. Fused D-backward Pallas kernel (blur-transpose ⊙ lrelu-gate + bias-grad,
+     element-window halos) == XLA oracle, and the fused Discriminator's
+     full parameter gradient == the plain module's.
 """
 
 from __future__ import annotations
@@ -134,6 +137,52 @@ def validate_bias_act(rs):
     return check("bias_act activation table", ok)
 
 
+def validate_fused_dbwd(rs):
+    from vqvae_tpu.ops.fused_dbwd import _blur_t_gate_xla, blur_t_gate_pallas
+
+    taps = tuple(np.array([1.0, 3.0, 3.0, 1.0]) / 8.0)
+    alpha, gain = 0.2, float(np.sqrt(2.0))
+    ok = True
+    # fp32 (exactness) and bf16 (training dtype) at a multi-tile shape; the
+    # element-window halo path is what CPU interpret mode cannot lower-check
+    for dtype, tol in ((jnp.float32, 5e-6), (jnp.bfloat16, 2e-2)):
+        dy = jnp.asarray(rs.randn(2, 65, 33, 256), dtype)
+        p0 = jnp.asarray(rs.randn(2, 64, 32, 256), dtype)
+        b0 = jnp.asarray(rs.randn(256), jnp.float32)
+        dp_k, db_k = blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain)
+        dp_r, db_r = jax.jit(
+            lambda a, b, c: _blur_t_gate_xla(a, b, c, taps, alpha, gain))(
+                dy, p0, b0)
+        dp_err = float(jnp.max(jnp.abs(dp_k.astype(jnp.float32)
+                                       - dp_r.astype(jnp.float32))))
+        db_err = float(jnp.max(jnp.abs(db_k - db_r)))
+        db_scale = float(jnp.max(jnp.abs(db_r))) + 1.0
+        ok = check(f"fused D-bwd kernel [{jnp.dtype(dtype).name}]",
+                   dp_err < tol and db_err < 2e-2 * db_scale,
+                   f"dp err {dp_err:.2e}, db err {db_err:.2e}") and ok
+
+    # full-D gradient parity, fused vs plain, bf16 compute like training
+    from vqvae_tpu.models.discriminator import Discriminator
+    disc = Discriminator(img_resolution=32, dtype=jnp.bfloat16)
+    x = jnp.asarray(rs.rand(4, 32, 32, 3), jnp.float32)
+    dp = disc.init(jax.random.PRNGKey(0), x)["params"]
+    disc_f = disc.clone(fused_dbwd=True)
+
+    def loss(module, d):
+        return jnp.sum(jnp.tanh(module.apply({"params": d}, x)
+                                .astype(jnp.float32)))
+
+    g_p = jax.jit(jax.grad(lambda d: loss(disc, d)))(dp)
+    g_f = jax.jit(jax.grad(lambda d: loss(disc_f, d)))(dp)
+    worst = 0.0
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        worst = max(worst, float(jnp.max(jnp.abs(a - b))) / scale)
+    ok = check("fused Discriminator grads == plain (bf16)", worst < 3e-2,
+               f"worst rel err {worst:.2e}") and ok
+    return ok
+
+
 def main():
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0].device_kind}")
     rs = np.random.RandomState(0)
@@ -144,6 +193,7 @@ def main():
         validate_upfirdn_adjoint(rs),
         validate_groupnorm(rs),
         validate_bias_act(rs),
+        validate_fused_dbwd(rs),
     ]
     if not all(results):
         sys.exit(1)

@@ -85,7 +85,8 @@ class Conv2dLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, gain: float = 1.0):
+    def __call__(self, x, gain: float = 1.0, return_preact: bool = False,
+                 pre_filtered: bool = False):
         in_channels = x.shape[-1]
         k = self.kernel_size
         w = self.param("weight", nn.initializers.normal(stddev=1.0),
@@ -95,6 +96,27 @@ class Conv2dLayer(nn.Module):
 
         weight_gain = 1.0 / math.sqrt(in_channels * k * k)
         w = (w * weight_gain).astype(self.dtype)
+
+        # fused-D-backward integration points (ops/fused_dbwd.py): the block
+        # splits conv0's bias_act from its conv (return_preact) and hands
+        # conv1 an already FIR-padded input (pre_filtered) so the
+        # bias_act→blur span can carry one custom_vjp.
+        if return_preact:
+            assert self.up == 1 and self.down == 1 and k > 1
+            x = conv2d_resample(x.astype(self.dtype), w, padding=k // 2,
+                                flip_weight=True)
+            return x, b
+        if pre_filtered:
+            assert self.down > 1 and self.up == 1
+            from vqvae_tpu.ops.conv2d_resample import _conv2d
+            x = _conv2d(x.astype(self.dtype), w, stride=self.down,
+                        flip_weight=True)
+            act_gain = activation_funcs[self.activation].def_gain * gain
+            act_clamp = (self.conv_clamp * gain
+                         if self.conv_clamp is not None else None)
+            return bias_act(x, b, act=self.activation, gain=act_gain,
+                            clamp=act_clamp)
+
         f = None
         if self.up > 1 or self.down > 1:
             # VQVAE_TPU_SEPARABLE_FIR=1 lowers the [1,3,3,1] low-pass as two
@@ -115,13 +137,21 @@ class Conv2dLayer(nn.Module):
 
 
 class DiscriminatorBlock(nn.Module):
-    """Residual down-2 block (reference discriminator.py:180-265)."""
+    """Residual down-2 block (reference discriminator.py:180-265).
+
+    ``fused_dbwd=True`` re-expresses the conv0→blur→conv1 chain so the
+    bias_act→FIR span runs under the fused-backward custom_vjp
+    (ops/fused_dbwd.py): parameters, forward math and outputs are identical
+    (pinned by test_fused_dbwd); only the compiled backward differs. NOT
+    twice-differentiable — the R1 step uses the plain module.
+    """
 
     tmp_channels: int
     out_channels: int
     has_fromrgb: bool
     activation: str = "lrelu"
     dtype: Dtype = jnp.float32
+    fused_dbwd: bool = False
 
     @nn.compact
     def __call__(self, x, img):
@@ -132,10 +162,21 @@ class DiscriminatorBlock(nn.Module):
 
         skip = Conv2dLayer(self.out_channels, 1, use_bias=False, down=2,
                            dtype=self.dtype, name="skip")(x, gain=math.sqrt(0.5))
-        x = Conv2dLayer(self.tmp_channels, 3, activation=self.activation,
-                        dtype=self.dtype, name="conv0")(x)
-        x = Conv2dLayer(self.out_channels, 3, activation=self.activation, down=2,
-                        dtype=self.dtype, name="conv1")(x, gain=math.sqrt(0.5))
+        conv0 = Conv2dLayer(self.tmp_channels, 3, activation=self.activation,
+                            dtype=self.dtype, name="conv0")
+        conv1 = Conv2dLayer(self.out_channels, 3, activation=self.activation,
+                            down=2, dtype=self.dtype, name="conv1")
+        if self.fused_dbwd and self.activation == "lrelu":
+            from vqvae_tpu.ops.fused_dbwd import make_fused_act_blur
+            p0, b0 = conv0(x, return_preact=True)
+            spec = activation_funcs[self.activation]
+            taps = [t / sum(RESAMPLE_FILTER) for t in RESAMPLE_FILTER]
+            fused = make_fused_act_blur(taps, alpha=spec.def_alpha,
+                                        gain=spec.def_gain)
+            x = conv1(fused(p0, b0), gain=math.sqrt(0.5), pre_filtered=True)
+        else:
+            x = conv0(x)
+            x = conv1(x, gain=math.sqrt(0.5))
         return skip + x
 
 
@@ -204,6 +245,7 @@ class Discriminator(nn.Module):
     activation: str = "lrelu"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fused_dbwd: bool = False  # see DiscriminatorBlock; steps.py clones this on
 
     @nn.compact
     def __call__(self, img):
@@ -222,6 +264,7 @@ class Discriminator(nn.Module):
                 has_fromrgb=(res == self.img_resolution),
                 activation=self.activation,
                 dtype=self.dtype,
+                fused_dbwd=self.fused_dbwd,
                 name=f"b{res}",
             )(x, img if res == self.img_resolution else None)
 

@@ -1,0 +1,267 @@
+"""Fused StyleGAN2-D backward: blur-transpose ⊙ lrelu-gate + bias-grad.
+
+The discriminator's hot backward fusion class (PERFORMANCE.md "Discriminator
+bwd"): for every DiscriminatorBlock, the cotangent arriving from conv1's
+input-grad conv-transpose must be pushed back through the [1,3,3,1] FIR
+low-pass and conv0's fused bias+lrelu (reference bias_act.cu grad kernels +
+upfirdn2d.cu:246-264 analytic adjoint; here the whole reference chain is
+conv2d_resample.py:59-154 → bias_act.py:55). XLA autodiff compiles this as
+one elementwise fusion per block — measured 530–646 GB/s on v5e against an
+~819 GB/s roofline. This module provides the same computation as ONE Pallas
+kernel with a *separable* two-pass FIR transpose (8 taps/element instead of
+the outer-product 16) streaming VMEM-resident row tiles:
+
+    dP0 = blur_T(dY) ⊙ gain·lrelu'(P0 + b0)      (full-res, per block)
+    db0 = Σ_{B,H,W} dP0                           (fp32 accumulation)
+
+``fused_act_blur`` is the integration point: a ``jax.custom_vjp`` spanning
+conv0's bias_act and conv1's FIR blur (the primal is EXACTLY the existing
+ops — forward fusion landscape unchanged); only its backward is replaced.
+Residuals are (P0, b0), both materialized by the forward anyway (a conv
+output and a parameter) — no extra forward HBM traffic.
+
+NOT twice-differentiable (custom_vjp): the R1-staged step keeps the plain
+XLA path for the D-at-images linearization (train/steps.py).
+
+Dispatch mirrors ops/vq.py: 'auto' uses Pallas on TPU backends with aligned
+shapes, XLA otherwise; explicit impl='pallas' raises descriptively when the
+kernel can't run.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqvae_tpu.ops.upfirdn2d import upfirdn2d
+
+_IMPL_ENV = "VQVAE_TPU_DBWD_IMPL"  # 'xla' | 'pallas' | 'auto'
+
+_LANES = 128
+
+
+def _dispatch_impl(impl):
+    if impl:
+        return impl
+    return os.environ.get(_IMPL_ENV, "auto")
+
+
+def _backend_name() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "uninitialized"
+
+
+def _row_tile(h: int) -> int:
+    """Largest tile ≤ 32 dividing H (D resolutions are powers of two)."""
+    for t in (32, 16, 8, 4, 2, 1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+def _pallas_ok(dy, p0) -> bool:
+    """Pallas path: TPU backend, lane-aligned channels, 4-tap blur shapes."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    b, hy, wy, c = dy.shape
+    _, h, w, _ = p0.shape
+    return (c % _LANES == 0) and hy == h + 1 and wy == w + 1
+
+
+# ---------------------------------------------------------------------------
+# XLA oracle
+# ---------------------------------------------------------------------------
+
+def _blur_t_gate_xla(dy, p0, b0, taps, alpha, gain):
+    """Reference backward in plain jnp (also the non-TPU dispatch target).
+
+    The adjoint of ``upfirdn2d(·, f, padding=(2,2,2,2))`` (4-tap, up=down=1)
+    is the correlation with the same filter under the transpose-pad identity
+    q = fw - 1 - p = 1 (reference upfirdn2d.py:246-264 uses the same
+    flip/pad-transpose construction for its CUDA backward).
+    """
+    f2d = np.outer(np.asarray(taps, np.float32), np.asarray(taps, np.float32))
+    da = upfirdn2d(dy, f2d, padding=(1, 1, 1, 1), flip_filter=True)
+    s = p0 + b0.astype(p0.dtype)
+    gate = jnp.where(s >= 0, gain, gain * alpha).astype(jnp.float32)
+    dp0 = (da.astype(jnp.float32) * gate).astype(p0.dtype)
+    db0 = jnp.sum(da.astype(jnp.float32) * gate, axis=(0, 1, 2))
+    return dp0, db0.astype(b0.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(taps, alpha, gain, tile, h, w):
+    t0, t1, t2, t3 = (float(t) for t in taps)
+    gain = float(gain)
+    alpha = float(alpha)
+
+    def kernel(dy_ref, p0_ref, b0_ref, dp_ref, db_ref):
+        b = pl.program_id(1)
+        hi = pl.program_id(2)
+
+        # dY block rows are global rows [hi*tile - 1, hi*tile + tile + 2),
+        # cols [-1, w + 2): element-window padding delivers UNDEFINED fill
+        # outside the (h+1, w+1) array — mask to zero before filtering.
+        g = dy_ref[...].astype(jnp.float32)           # (tile+3, w+3, c)
+        row0 = hi * tile - 1
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        cols = -1 + jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        valid = ((rows >= 0) & (rows <= h) & (cols >= 0) & (cols <= w))
+        g = jnp.where(valid, g, 0.0)
+
+        # separable FIR transpose: dA[i,j] = Σ_{s,t} f[s] f[t] dY[i-1+s, j-1+t]
+        v = (t0 * g[0:tile] + t1 * g[1:tile + 1]
+             + t2 * g[2:tile + 2] + t3 * g[3:tile + 3])   # (tile, w+3, c)
+        u = (t0 * v[:, 0:w] + t1 * v[:, 1:w + 1]
+             + t2 * v[:, 2:w + 2] + t3 * v[:, 3:w + 3])   # (tile, w, c)
+
+        # gate from the bf16/f32 sum exactly as bias_act computes it
+        # (b.astype(x.dtype); sign decides the lrelu branch, x>=0 -> slope 1)
+        p = p0_ref[...]
+        s = p + b0_ref[0].astype(p.dtype)
+        gate = jnp.where(s >= 0, gain, gain * alpha)      # f32 weights
+        dp = u * gate
+        dp_ref[...] = dp.astype(dp_ref.dtype)
+
+        @pl.when((b == 0) & (hi == 0))
+        def _():
+            db_ref[...] = jnp.zeros_like(db_ref)
+        db_ref[...] += jnp.sum(dp, axis=(0, 1))[None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "alpha", "gain",
+                                              "interpret"))
+def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False):
+    """One-pass fused D-backward kernel.
+
+    Args:
+      dy: (B, H+1, W+1, C) cotangent of the blurred tensor (conv1's
+        conv-transpose output).
+      p0: (B, H, W, C) conv0 pre-bias output (gate source residual).
+      b0: (C,) fp32 conv0 bias.
+      taps: static 1-D FIR taps, DC-normalized ([1,3,3,1]/8).
+      alpha, gain: lrelu slope / bias_act gain (static).
+
+    Returns:
+      dp0 (B, H, W, C) in p0.dtype, db0 (C,) fp32.
+    """
+    bsz, h1, w1, c = dy.shape
+    h, w = h1 - 1, w1 - 1
+    assert p0.shape == (bsz, h, w, c), (p0.shape, dy.shape)
+    assert len(taps) == 4 and c % _LANES == 0
+    tile = _row_tile(h)
+
+    kernel = _make_kernel(taps, alpha, gain, tile, h, w)
+    grid = (c // _LANES, bsz, h // tile)
+
+    dp0, db0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # element window with halo: rows/cols offsets are relative to the
+            # (1,1)-padded array, so returning (hi*tile, 0) reads unpadded
+            # rows [hi*tile-1, ...) and cols [-1, ...)
+            pl.BlockSpec(
+                (None, pl.Element(tile + 3, (1, 1)),
+                 pl.Element(w + 3, (1, 1)), pl.Element(_LANES)),
+                lambda ci, bi, hi: (bi, hi * tile, 0, ci * _LANES),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tile, w, _LANES),
+                         lambda ci, bi, hi: (bi, hi, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda ci, bi, hi: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, tile, w, _LANES),
+                         lambda ci, bi, hi: (bi, hi, 0, ci),
+                         memory_space=pltpu.VMEM),
+            # fp32 bias-grad accumulator: same block for every (b, hi) of a
+            # given channel tile (c is the OUTERMOST grid dim, so revisits
+            # are consecutive)
+            pl.BlockSpec((1, _LANES), lambda ci, bi, hi: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, c), p0.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dy, p0, b0.astype(jnp.float32).reshape(1, c))
+    return dp0, db0[0].astype(b0.dtype)
+
+
+def blur_t_gate(dy, p0, b0, taps, alpha, gain, impl=None, interpret=False):
+    """Dispatching fused D-backward (see module docstring)."""
+    impl = _dispatch_impl(impl)
+    ok = _pallas_ok(dy, p0) or interpret
+    if impl == "pallas" and not ok:
+        raise ValueError(
+            "impl='pallas' requested but the fused D-backward kernel cannot "
+            f"run here (backend={_backend_name()!r}, dy={dy.shape}, "
+            f"p0={p0.shape}; needs a TPU backend and C%128==0)")
+    if impl == "pallas" or (impl == "auto" and ok):
+        return blur_t_gate_pallas(dy, p0, b0, tuple(float(t) for t in taps),
+                                  float(alpha), float(gain),
+                                  interpret=interpret)
+    return _blur_t_gate_xla(dy, p0, b0, taps, alpha, gain)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp integration point
+# ---------------------------------------------------------------------------
+
+def make_fused_act_blur(taps: Sequence[float], alpha: float, gain: float,
+                        impl: str | None = None, interpret: bool = False):
+    """Build ``fused(P0, b0) -> blur(bias_act(P0, b0, lrelu))`` whose
+    backward is the fused kernel.
+
+    The primal is the exact existing forward (ops/bias_act.py +
+    ops/upfirdn2d.py with padding=(2,2,2,2) — the conv2d_resample down=2
+    pre-filter for a 3x3 conv); only the VJP changes. NOT twice-
+    differentiable — callers needing 2nd-order AD (R1) must use the plain
+    path.
+    """
+    taps = tuple(float(t) for t in taps)
+    f2d = np.outer(np.asarray(taps, np.float32), np.asarray(taps, np.float32))
+    alpha = float(alpha)
+    gain = float(gain)
+
+    def _primal(p0, b0):
+        a = p0 + b0.astype(p0.dtype)
+        a = jnp.where(a >= 0, a, alpha * a) * gain     # lrelu ⋅ gain
+        return upfirdn2d(a, f2d, padding=(2, 2, 2, 2))
+
+    @jax.custom_vjp
+    def fused(p0, b0):
+        return _primal(p0, b0)
+
+    def _fwd(p0, b0):
+        return _primal(p0, b0), (p0, b0)
+
+    def _bwd(res, dy):
+        p0, b0 = res
+        return blur_t_gate(dy, p0, b0, taps, alpha, gain,
+                           impl=impl, interpret=interpret)
+
+    fused.defvjp(_fwd, _bwd)
+    return fused

@@ -50,6 +50,7 @@ Intentional fixes of reference bugs (SURVEY §2.4), documented divergences:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -245,8 +246,17 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     # shared D-forward on the reconstructions (see make_paired_logits)
     # ------------------------------------------------------------------
     if disc is not None:
+        # VQVAE_TPU_FUSED_DBWD=1: first-order D applications use the Pallas
+        # fused blur-transpose backward (ops/fused_dbwd.py; identical params
+        # and forward, measured A/B in PERFORMANCE.md). The R1 linearization
+        # below keeps the plain module — custom_vjp is not twice-
+        # differentiable, and R1 differentiates D-at-images twice.
+        if os.environ.get("VQVAE_TPU_FUSED_DBWD", "0") == "1":
+            disc_1st = disc.clone(fused_dbwd=True)
+        else:
+            disc_1st = disc
         paired_fake_logits = make_paired_logits(
-            lambda dp, x: disc.apply({"params": dp}, x))
+            lambda dp, x: disc_1st.apply({"params": dp}, x))
 
     # ------------------------------------------------------------------
     # per-micro-batch gradients (one full AE + D gradient computation);
@@ -287,7 +297,7 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                                                   rng_model, step, True)
                         p2 = lpips_apply(images, recon2)
                         g2 = generator_loss(
-                            disc.apply({"params": dp}, recon2),
+                            disc_1st.apply({"params": dp}, recon2),
                             adv.loss_type)
                         return p2, g2
 
@@ -313,7 +323,7 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                     logits_real, d_vjp = jax.vjp(
                         lambda im: disc.apply({"params": dp}, im), images)
                 else:
-                    logits_real = disc.apply({"params": dp}, images)
+                    logits_real = disc_1st.apply({"params": dp}, images)
                 d_loss = discriminator_loss(logits_real, ld, adv.loss_type)
                 if with_r1:
                     grad_imgs = d_vjp(jnp.ones_like(logits_real))[0]
