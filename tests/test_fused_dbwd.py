@@ -178,6 +178,7 @@ def test_env_flag_trains_gan_with_r1(tmp_path, monkeypatch):
 
     img = 16
     monkeypatch.setenv("VQVAE_TPU_FUSED_DBWD", "1")
+    monkeypatch.setenv("VQVAE_TPU_FUSED_SKIP", "1")
     d = tmp_path / "data" / "train"
     d.mkdir(parents=True)
     rs = np.random.RandomState(0)
@@ -217,3 +218,73 @@ def test_env_flag_trains_gan_with_r1(tmp_path, monkeypatch):
     rows = [r for r in rows if "train/loss" in r]
     assert rows and all(np.isfinite(r["train/loss"]) for r in rows)
     assert any(r.get("train/r1_penalty", 0) > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# skip-path fan-out (kernel B): up-dilated blur-transpose + cotangent add
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((2, 16, 16, 128), jnp.float32),
+    ((1, 64, 24, 256), jnp.float32),   # multi h-tile, odd half-W, 2 c-tiles
+    ((2, 32, 16, 128), jnp.bfloat16),
+])
+def test_skip_kernel_matches_oracle(shape, dtype):
+    from vqvae_tpu.ops.fused_dbwd import (
+        _skip_fanout_bwd_xla, skip_fanout_bwd_pallas)
+    b, h, w, c = shape
+    rs = np.random.RandomState(5)
+    dc = _rand(rs, (b, h, w, c), dtype)
+    dys = _rand(rs, (b, h // 2, w // 2, c), dtype)
+    out_k = skip_fanout_bwd_pallas(dc, dys, TAPS, interpret=True)
+    out_r = _skip_fanout_bwd_xla(dc, dys, TAPS)
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(out_k, np.float32),
+                               np.asarray(out_r, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_skip_fanout_vjp_matches_autodiff():
+    from vqvae_tpu.ops.fused_dbwd import make_fused_skip_fanout
+    rs = np.random.RandomState(6)
+    x = _rand(rs, (2, 16, 16, 128), jnp.float32)
+    f2d = np.outer(TAPS, TAPS)
+
+    def plain(x):
+        ys = upfirdn2d(x, f2d, down=2, padding=(1, 1, 1, 1))
+        return jnp.sum(jnp.tanh(x)) + jnp.sum(ys ** 2)
+
+    fan = make_fused_skip_fanout(TAPS, interpret=True)
+
+    def fused_loss(x):
+        xc, ys = fan(x)
+        return jnp.sum(jnp.tanh(xc)) + jnp.sum(ys ** 2)
+
+    np.testing.assert_array_equal(fused_loss(x), plain(x))
+    g_f = jax.grad(fused_loss)(x)
+    g_p = jax.grad(plain)(x)
+    np.testing.assert_allclose(g_f, g_p, rtol=1e-5, atol=1e-6)
+
+
+def test_discriminator_fused_skip_parity(disc_pair):
+    disc, _, dp, x = disc_pair
+    disc_s = disc.clone(fused_skip=True)
+    disc_both = disc.clone(fused_skip=True, fused_dbwd=True)
+    np.testing.assert_array_equal(disc.apply({"params": dp}, x),
+                                  disc_s.apply({"params": dp}, x))
+    np.testing.assert_array_equal(disc.apply({"params": dp}, x),
+                                  disc_both.apply({"params": dp}, x))
+
+    def loss(module, d, im):
+        return jnp.sum(jnp.tanh(module.apply({"params": d}, im)))
+
+    gd, gx = jax.grad(lambda d, im: loss(disc, d, im), argnums=(0, 1))(dp, x)
+    for mod in (disc_s, disc_both):
+        gd_f, gx_f = jax.grad(lambda d, im: loss(mod, d, im),
+                              argnums=(0, 1))(dp, x)
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gd),
+                jax.tree_util.tree_leaves_with_path(gd_f)):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(kp))
+        np.testing.assert_allclose(gx, gx_f, rtol=2e-5, atol=1e-6)

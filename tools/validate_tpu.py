@@ -161,12 +161,25 @@ def validate_fused_dbwd(rs):
                    dp_err < tol and db_err < 2e-2 * db_scale,
                    f"dp err {dp_err:.2e}, db err {db_err:.2e}") and ok
 
+    # skip-path kernel: up-dilated blur-transpose + cotangent add
+    from vqvae_tpu.ops.fused_dbwd import (
+        _skip_fanout_bwd_xla, skip_fanout_bwd_pallas)
+    for dtype, tol in ((jnp.float32, 5e-6), (jnp.bfloat16, 2e-2)):
+        dc = jnp.asarray(rs.randn(2, 64, 32, 256), dtype)
+        dys = jnp.asarray(rs.randn(2, 32, 16, 256), dtype)
+        o_k = skip_fanout_bwd_pallas(dc, dys, taps)
+        o_r = jax.jit(lambda a, b: _skip_fanout_bwd_xla(a, b, taps))(dc, dys)
+        err = float(jnp.max(jnp.abs(o_k.astype(jnp.float32)
+                                    - o_r.astype(jnp.float32))))
+        ok = check(f"fused skip-bwd kernel [{jnp.dtype(dtype).name}]",
+                   err < tol, f"max err {err:.2e}") and ok
+
     # full-D gradient parity, fused vs plain, bf16 compute like training
     from vqvae_tpu.models.discriminator import Discriminator
     disc = Discriminator(img_resolution=32, dtype=jnp.bfloat16)
     x = jnp.asarray(rs.rand(4, 32, 32, 3), jnp.float32)
     dp = disc.init(jax.random.PRNGKey(0), x)["params"]
-    disc_f = disc.clone(fused_dbwd=True)
+    disc_f = disc.clone(fused_dbwd=True, fused_skip=True)
 
     def loss(module, d):
         return jnp.sum(jnp.tanh(module.apply({"params": d}, x)

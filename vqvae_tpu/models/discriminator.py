@@ -109,7 +109,11 @@ class Conv2dLayer(nn.Module):
         if pre_filtered:
             assert self.down > 1 and self.up == 1
             from vqvae_tpu.ops.conv2d_resample import _conv2d
-            x = _conv2d(x.astype(self.dtype), w, stride=self.down,
+            # k==1: conv2d_resample's pointwise branch folds the down-2 into
+            # the FIR itself, so the conv runs at stride 1; k>1: the FIR is
+            # shape-preserving (pads+2) and the conv carries the stride
+            x = _conv2d(x.astype(self.dtype), w,
+                        stride=1 if k == 1 else self.down,
                         flip_weight=True)
             act_gain = activation_funcs[self.activation].def_gain * gain
             act_clamp = (self.conv_clamp * gain
@@ -152,6 +156,7 @@ class DiscriminatorBlock(nn.Module):
     activation: str = "lrelu"
     dtype: Dtype = jnp.float32
     fused_dbwd: bool = False
+    fused_skip: bool = False
 
     @nn.compact
     def __call__(self, x, img):
@@ -160,8 +165,19 @@ class DiscriminatorBlock(nn.Module):
                             dtype=self.dtype, name="fromrgb")(img)
             x = x + y if x is not None else y
 
-        skip = Conv2dLayer(self.out_channels, 1, use_bias=False, down=2,
-                           dtype=self.dtype, name="skip")(x, gain=math.sqrt(0.5))
+        taps = [t / sum(RESAMPLE_FILTER) for t in RESAMPLE_FILTER]
+        skip_layer = Conv2dLayer(self.out_channels, 1, use_bias=False,
+                                 down=2, dtype=self.dtype, name="skip")
+        if self.fused_skip:
+            # fan-out custom_vjp: the skip FIR's transpose and the x-input
+            # cotangent ADD run as one Pallas pass in the backward
+            from vqvae_tpu.ops.fused_dbwd import make_fused_skip_fanout
+            fan = make_fused_skip_fanout(taps)
+            x, ys = fan(x.astype(self.dtype))
+            skip = skip_layer(ys, gain=math.sqrt(0.5), pre_filtered=True)
+        else:
+            skip = skip_layer(x, gain=math.sqrt(0.5))
+
         conv0 = Conv2dLayer(self.tmp_channels, 3, activation=self.activation,
                             dtype=self.dtype, name="conv0")
         conv1 = Conv2dLayer(self.out_channels, 3, activation=self.activation,
@@ -170,7 +186,6 @@ class DiscriminatorBlock(nn.Module):
             from vqvae_tpu.ops.fused_dbwd import make_fused_act_blur
             p0, b0 = conv0(x, return_preact=True)
             spec = activation_funcs[self.activation]
-            taps = [t / sum(RESAMPLE_FILTER) for t in RESAMPLE_FILTER]
             fused = make_fused_act_blur(taps, alpha=spec.def_alpha,
                                         gain=spec.def_gain)
             x = conv1(fused(p0, b0), gain=math.sqrt(0.5), pre_filtered=True)
@@ -245,7 +260,8 @@ class Discriminator(nn.Module):
     activation: str = "lrelu"
     dtype: Dtype = jnp.float32
     remat: bool = False
-    fused_dbwd: bool = False  # see DiscriminatorBlock; steps.py clones this on
+    fused_dbwd: bool = False  # see DiscriminatorBlock; steps.py clones these
+    fused_skip: bool = False  # on for the first-order GAN steps (env-gated)
 
     @nn.compact
     def __call__(self, img):
@@ -265,6 +281,7 @@ class Discriminator(nn.Module):
                 activation=self.activation,
                 dtype=self.dtype,
                 fused_dbwd=self.fused_dbwd,
+                fused_skip=self.fused_skip,
                 name=f"b{res}",
             )(x, img if res == self.img_resolution else None)
 

@@ -227,6 +227,136 @@ def blur_t_gate(dy, p0, b0, taps, alpha, gain, impl=None, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# skip-path adjoint: up-dilated blur-transpose fused with the cotangent add
+# ---------------------------------------------------------------------------
+
+def _skip_fanout_bwd_xla(dc, dys, taps):
+    """Oracle for the skip-path backward: the adjoint of the down-2 FIR
+    (``upfirdn2d(x, f, down=2, padding=(1,1,1,1))``, conv2d_resample's 1x1
+    pointwise branch) is the up-2 FIR with transpose pads (2,1) — verified
+    against autodiff — summed with the conv0-branch cotangent (the fan-out
+    add JAX inserts at the block input)."""
+    f2d = np.outer(np.asarray(taps, np.float32), np.asarray(taps, np.float32))
+    da = upfirdn2d(dys, f2d, up=2, padding=(2, 1, 2, 1), flip_filter=True)
+    return dc + da.astype(dc.dtype)
+
+
+def _make_skip_kernel(taps, tile, h, w):
+    t0, t1, t2, t3 = (float(t) for t in taps)
+    th, hh, wh = tile // 2, h // 2, w // 2
+
+    def kernel(dc_ref, dys_ref, out_ref):
+        hi = pl.program_id(2)
+        d = dys_ref[...].astype(jnp.float32)          # (th+2, wh+2, c)
+        rows = hi * th - 1 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        cols = -1 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        valid = ((rows >= 0) & (rows < hh) & (cols >= 0) & (cols < wh))
+        d = jnp.where(valid, d, 0.0)
+
+        # phase-split zero-stuffed transpose: even output rows see taps
+        # (f0, f2) of dys rows (m-1, m); odd rows taps (f1, f3) of (m, m+1)
+        re = t0 * d[0:th] + t2 * d[1:th + 1]           # (th, wh+2, c)
+        ro = t1 * d[1:th + 1] + t3 * d[2:th + 2]
+        r = jnp.stack([re, ro], axis=1).reshape(tile, wh + 2, d.shape[-1])
+        ce = t0 * r[:, 0:wh] + t2 * r[:, 1:wh + 1]     # (tile, wh, c)
+        co = t1 * r[:, 1:wh + 1] + t3 * r[:, 2:wh + 2]
+        u = jnp.stack([ce, co], axis=2).reshape(tile, w, d.shape[-1])
+        out_ref[...] = (dc_ref[...].astype(jnp.float32)
+                        + u).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
+def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False):
+    """dc + up_blur_T(dys) in one pass (see _skip_fanout_bwd_xla)."""
+    bsz, h, w, c = dc.shape
+    assert dys.shape == (bsz, h // 2, w // 2, c), (dc.shape, dys.shape)
+    assert h % 2 == 0 and w % 2 == 0 and c % _LANES == 0
+    tile = max(2, _row_tile(h))
+    th = tile // 2
+
+    kernel = _make_skip_kernel(taps, tile, h, w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c // _LANES, bsz, h // tile),
+        in_specs=[
+            pl.BlockSpec((None, tile, w, _LANES),
+                         lambda ci, bi, hi: (bi, hi, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, pl.Element(th + 2, (1, 1)),
+                 pl.Element(w // 2 + 2, (1, 1)), pl.Element(_LANES)),
+                lambda ci, bi, hi: (bi, hi * th, 0, ci * _LANES),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, tile, w, _LANES),
+                               lambda ci, bi, hi: (bi, hi, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), dc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dc, dys)
+    return out
+
+
+def _skip_pallas_ok(dc, dys) -> bool:
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    bsz, h, w, c = dc.shape
+    return (c % _LANES == 0 and h % 2 == 0 and w % 2 == 0
+            and dys.shape == (bsz, h // 2, w // 2, c))
+
+
+def make_fused_skip_fanout(taps: Sequence[float], impl: str | None = None,
+                           interpret: bool = False):
+    """Build ``fanout(x) -> (x, skip_fir(x))`` whose backward fuses the
+    up-dilated blur-transpose with the fan-out cotangent ADD.
+
+    The primal is exactly the block's existing fan-out: ``x`` feeds conv0
+    unchanged AND the skip path's down-2 FIR (conv2d_resample's 1x1
+    pointwise branch). JAX's autodiff would sum the two branch cotangents
+    with a separate full-res elementwise add after transposing the FIR;
+    the custom bwd receives both cotangents and does add+transpose in one
+    kernel. NOT twice-differentiable (see make_fused_act_blur).
+    """
+    taps = tuple(float(t) for t in taps)
+    f2d = np.outer(np.asarray(taps, np.float32), np.asarray(taps, np.float32))
+
+    def _primal(x):
+        return x, upfirdn2d(x, f2d, down=2, padding=(1, 1, 1, 1))
+
+    @jax.custom_vjp
+    def fanout(x):
+        return _primal(x)
+
+    def _fwd(x):
+        return _primal(x), None
+
+    def _bwd(_, cts):
+        dc, dys = cts
+        eff = _dispatch_impl(impl)
+        ok = _skip_pallas_ok(dc, dys) or interpret
+        if eff == "pallas" and not ok:
+            raise ValueError(
+                "impl='pallas' requested but the fused skip-backward kernel "
+                f"cannot run here (backend={_backend_name()!r}, "
+                f"dc={dc.shape}, dys={dys.shape}; needs a TPU backend, "
+                "C%128==0 and even H/W)")
+        if eff == "pallas" or (eff == "auto" and ok):
+            return (skip_fanout_bwd_pallas(dc, dys, taps,
+                                           interpret=interpret),)
+        return (_skip_fanout_bwd_xla(dc, dys, taps),)
+
+    fanout.defvjp(_fwd, _bwd)
+    return fanout
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp integration point
 # ---------------------------------------------------------------------------
 

@@ -251,10 +251,12 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
         # and forward, measured A/B in PERFORMANCE.md). The R1 linearization
         # below keeps the plain module — custom_vjp is not twice-
         # differentiable, and R1 differentiates D-at-images twice.
+        fused_kw = {}
         if os.environ.get("VQVAE_TPU_FUSED_DBWD", "0") == "1":
-            disc_1st = disc.clone(fused_dbwd=True)
-        else:
-            disc_1st = disc
+            fused_kw["fused_dbwd"] = True
+        if os.environ.get("VQVAE_TPU_FUSED_SKIP", "0") == "1":
+            fused_kw["fused_skip"] = True
+        disc_1st = disc.clone(**fused_kw) if fused_kw else disc
         paired_fake_logits = make_paired_logits(
             lambda dp, x: disc_1st.apply({"params": dp}, x))
 
