@@ -61,9 +61,15 @@ def _backend_name() -> str:
 
 
 def _row_tile(h: int) -> int:
-    """Largest tile ≤ 32 dividing H (D resolutions are powers of two)."""
-    for t in (32, 16, 8, 4, 2, 1):
-        if h % t == 0:
+    """Largest tile ≤ cap dividing H (D resolutions are powers of two).
+
+    The cap trades halo re-reads (3/tile extra G traffic for the gate
+    kernel) against VMEM block size; VQVAE_TPU_DBWD_TILE overrides for
+    on-chip tuning (default 32 ≈ 9% halo overhead, ~7 MB blocks at C=128).
+    """
+    cap = int(os.environ.get("VQVAE_TPU_DBWD_TILE", "32"))
+    for t in (64, 32, 16, 8, 4, 2, 1):
+        if t <= cap and h % t == 0:
             return t
     return 1
 
