@@ -179,6 +179,10 @@ def test_env_flag_trains_gan_with_r1(tmp_path, monkeypatch):
     img = 16
     monkeypatch.setenv("VQVAE_TPU_FUSED_DBWD", "1")
     monkeypatch.setenv("VQVAE_TPU_FUSED_SKIP", "1")
+    # route the fused backwards through the REAL (interpret-mode) Pallas
+    # kernels: pins that no twice-linearized path (adaptive-lambda replay,
+    # R1 D-at-images) ever reaches them — on TPU that is a trace error
+    monkeypatch.setenv("VQVAE_TPU_DBWD_INTERPRET", "1")
     d = tmp_path / "data" / "train"
     d.mkdir(parents=True)
     rs = np.random.RandomState(0)

@@ -145,7 +145,10 @@ def validate_fused_dbwd(rs):
     ok = True
     # fp32 (exactness) and bf16 (training dtype) at a multi-tile shape; the
     # element-window halo path is what CPU interpret mode cannot lower-check
-    for dtype, tol in ((jnp.float32, 5e-6), (jnp.bfloat16, 2e-2)):
+    # db tol: fp32 differs only by f32 accumulation ORDER (tight); bf16 by
+    # the oracle's extra bf16 rounding of the blur output (loose)
+    for dtype, tol, db_tol in ((jnp.float32, 5e-6, 5e-4),
+                               (jnp.bfloat16, 2e-2, 2e-2)):
         dy = jnp.asarray(rs.randn(2, 65, 33, 256), dtype)
         p0 = jnp.asarray(rs.randn(2, 64, 32, 256), dtype)
         b0 = jnp.asarray(rs.randn(256), jnp.float32)
@@ -158,7 +161,7 @@ def validate_fused_dbwd(rs):
         db_err = float(jnp.max(jnp.abs(db_k - db_r)))
         db_scale = float(jnp.max(jnp.abs(db_r))) + 1.0
         ok = check(f"fused D-bwd kernel [{jnp.dtype(dtype).name}]",
-                   dp_err < tol and db_err < 2e-2 * db_scale,
+                   dp_err < tol and db_err < db_tol * db_scale,
                    f"dp err {dp_err:.2e}, db err {db_err:.2e}") and ok
 
     # skip-path kernel: up-dilated blur-transpose + cotangent add

@@ -102,7 +102,10 @@ class Conv2dLayer(nn.Module):
         # conv1 an already FIR-padded input (pre_filtered) so the
         # bias_act→blur span can carry one custom_vjp.
         if return_preact:
+            # the fused chain rebuilt from (preact, bias) applies only
+            # lrelu*def_gain — reject configurations it would silently drop
             assert self.up == 1 and self.down == 1 and k > 1
+            assert self.conv_clamp is None and gain == 1.0
             x = conv2d_resample(x.astype(self.dtype), w, padding=k // 2,
                                 flip_weight=True)
             return x, b
@@ -166,13 +169,19 @@ class DiscriminatorBlock(nn.Module):
             x = x + y if x is not None else y
 
         taps = [t / sum(RESAMPLE_FILTER) for t in RESAMPLE_FILTER]
+        separable = os.environ.get("VQVAE_TPU_SEPARABLE_FIR", "0") == "1"
+        # test hook: run the fused backwards through the interpret-mode
+        # Pallas kernels on CPU, so the suite exercises the REAL kernel
+        # dispatch (incl. its AD restrictions) without a TPU
+        interp = os.environ.get("VQVAE_TPU_DBWD_INTERPRET", "0") == "1"
         skip_layer = Conv2dLayer(self.out_channels, 1, use_bias=False,
                                  down=2, dtype=self.dtype, name="skip")
         if self.fused_skip:
             # fan-out custom_vjp: the skip FIR's transpose and the x-input
             # cotangent ADD run as one Pallas pass in the backward
             from vqvae_tpu.ops.fused_dbwd import make_fused_skip_fanout
-            fan = make_fused_skip_fanout(taps)
+            fan = make_fused_skip_fanout(taps, separable=separable,
+                                         interpret=interp)
             x, ys = fan(x.astype(self.dtype))
             skip = skip_layer(ys, gain=math.sqrt(0.5), pre_filtered=True)
         else:
@@ -187,7 +196,9 @@ class DiscriminatorBlock(nn.Module):
             p0, b0 = conv0(x, return_preact=True)
             spec = activation_funcs[self.activation]
             fused = make_fused_act_blur(taps, alpha=spec.def_alpha,
-                                        gain=spec.def_gain)
+                                        gain=spec.def_gain,
+                                        separable=separable,
+                                        interpret=interp)
             x = conv1(fused(p0, b0), gain=math.sqrt(0.5), pre_filtered=True)
         else:
             x = conv0(x)

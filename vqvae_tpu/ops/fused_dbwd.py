@@ -153,8 +153,9 @@ def _make_kernel(taps, alpha, gain, tile, h, w):
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "alpha", "gain",
-                                              "interpret"))
-def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False):
+                                              "interpret", "tile"))
+def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
+                       tile=None):
     """One-pass fused D-backward kernel.
 
     Args:
@@ -172,7 +173,10 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False):
     h, w = h1 - 1, w1 - 1
     assert p0.shape == (bsz, h, w, c), (p0.shape, dy.shape)
     assert len(taps) == 4 and c % _LANES == 0
-    tile = _row_tile(h)
+    # tile is a STATIC arg resolved by callers (env reads inside a jitted
+    # body would be baked into the first trace and silently reused)
+    tile = tile or _row_tile(h)
+    assert h % tile == 0
 
     kernel = _make_kernel(taps, alpha, gain, tile, h, w)
     grid = (c // _LANES, bsz, h // tile)
@@ -228,7 +232,8 @@ def blur_t_gate(dy, p0, b0, taps, alpha, gain, impl=None, interpret=False):
     if impl == "pallas" or (impl == "auto" and ok):
         return blur_t_gate_pallas(dy, p0, b0, tuple(float(t) for t in taps),
                                   float(alpha), float(gain),
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  tile=_row_tile(p0.shape[1]))
     return _blur_t_gate_xla(dy, p0, b0, taps, alpha, gain)
 
 
@@ -273,13 +278,14 @@ def _make_skip_kernel(taps, tile, h, w):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
-def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False):
+@functools.partial(jax.jit, static_argnames=("taps", "interpret", "tile"))
+def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False, tile=None):
     """dc + up_blur_T(dys) in one pass (see _skip_fanout_bwd_xla)."""
     bsz, h, w, c = dc.shape
     assert dys.shape == (bsz, h // 2, w // 2, c), (dc.shape, dys.shape)
     assert h % 2 == 0 and w % 2 == 0 and c % _LANES == 0
-    tile = max(2, _row_tile(h))
+    tile = tile or max(2, _row_tile(h))  # static; see blur_t_gate_pallas
+    assert tile % 2 == 0 and h % tile == 0
     th = tile // 2
 
     kernel = _make_skip_kernel(taps, tile, h, w)
@@ -319,7 +325,8 @@ def _skip_pallas_ok(dc, dys) -> bool:
 
 
 def make_fused_skip_fanout(taps: Sequence[float], impl: str | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           separable: bool = False):
     """Build ``fanout(x) -> (x, skip_fir(x))`` whose backward fuses the
     up-dilated blur-transpose with the fan-out cotangent ADD.
 
@@ -331,10 +338,12 @@ def make_fused_skip_fanout(taps: Sequence[float], impl: str | None = None,
     kernel. NOT twice-differentiable (see make_fused_act_blur).
     """
     taps = tuple(float(t) for t in taps)
-    f2d = np.outer(np.asarray(taps, np.float32), np.asarray(taps, np.float32))
+    f = (np.asarray(taps, np.float32) if separable
+         else np.outer(np.asarray(taps, np.float32),
+                       np.asarray(taps, np.float32)))
 
     def _primal(x):
-        return x, upfirdn2d(x, f2d, down=2, padding=(1, 1, 1, 1))
+        return x, upfirdn2d(x, f, down=2, padding=(1, 1, 1, 1))
 
     @jax.custom_vjp
     def fanout(x):
@@ -354,8 +363,9 @@ def make_fused_skip_fanout(taps: Sequence[float], impl: str | None = None,
                 f"dc={dc.shape}, dys={dys.shape}; needs a TPU backend, "
                 "C%128==0 and even H/W)")
         if eff == "pallas" or (eff == "auto" and ok):
-            return (skip_fanout_bwd_pallas(dc, dys, taps,
-                                           interpret=interpret),)
+            return (skip_fanout_bwd_pallas(
+                dc, dys, taps, interpret=interpret,
+                tile=max(2, _row_tile(dc.shape[1]))),)
         return (_skip_fanout_bwd_xla(dc, dys, taps),)
 
     fanout.defvjp(_fwd, _bwd)
@@ -367,7 +377,8 @@ def make_fused_skip_fanout(taps: Sequence[float], impl: str | None = None,
 # ---------------------------------------------------------------------------
 
 def make_fused_act_blur(taps: Sequence[float], alpha: float, gain: float,
-                        impl: str | None = None, interpret: bool = False):
+                        impl: str | None = None, interpret: bool = False,
+                        separable: bool = False):
     """Build ``fused(P0, b0) -> blur(bias_act(P0, b0, lrelu))`` whose
     backward is the fused kernel.
 
@@ -378,14 +389,19 @@ def make_fused_act_blur(taps: Sequence[float], alpha: float, gain: float,
     path.
     """
     taps = tuple(float(t) for t in taps)
-    f2d = np.outer(np.asarray(taps, np.float32), np.asarray(taps, np.float32))
+    # honor the VQVAE_TPU_SEPARABLE_FIR forward-lowering A/B inside the
+    # fused span too (1-D taps -> two depthwise passes); the backward kernel
+    # is always separable
+    f = (np.asarray(taps, np.float32) if separable
+         else np.outer(np.asarray(taps, np.float32),
+                       np.asarray(taps, np.float32)))
     alpha = float(alpha)
     gain = float(gain)
 
     def _primal(p0, b0):
         a = p0 + b0.astype(p0.dtype)
         a = jnp.where(a >= 0, a, alpha * a) * gain     # lrelu ⋅ gain
-        return upfirdn2d(a, f2d, padding=(2, 2, 2, 2))
+        return upfirdn2d(a, f, padding=(2, 2, 2, 2))
 
     @jax.custom_vjp
     def fused(p0, b0):

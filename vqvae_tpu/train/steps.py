@@ -298,8 +298,12 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                         recon2, _, _, _ = forward(params2, vq, images,
                                                   rng_model, step, True)
                         p2 = lpips_apply(images, recon2)
+                        # plain module here: the OUTER value_and_grad must
+                        # linearize this inner vjp, and the fused modules'
+                        # Pallas backward has no AD rules (stop_gradient on
+                        # g_weight does not stop the linearization)
                         g2 = generator_loss(
-                            disc_1st.apply({"params": dp}, recon2),
+                            disc.apply({"params": dp}, recon2),
                             adv.loss_type)
                         return p2, g2
 
