@@ -101,7 +101,8 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     image_size = 256 if on_tpu else 32
-    channels = 128 if on_tpu else 16
+    # CPU fallback must respect the GroupNorm(32) divisibility floor
+    channels = 128 if on_tpu else 32
     batch = int(os.environ.get("VQGAN_BENCH_BATCH", 32 if on_tpu else 8))
 
     raw = {
