@@ -120,27 +120,28 @@ def _make_kernel(taps, alpha, gain, tile, h, w):
         b = pl.program_id(1)
         hi = pl.program_id(2)
 
-        # dY block rows are global rows [hi*tile - 1, hi*tile + tile + 2),
-        # cols [-1, w + 2): element-window padding delivers UNDEFINED fill
-        # outside the (h+1, w+1) array — mask to zero before filtering.
-        g = dy_ref[...].astype(jnp.float32)           # (tile+3, w+3, c)
-        row0 = hi * tile - 1
-        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-        cols = -1 + jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-        valid = ((rows >= 0) & (rows <= h) & (cols >= 0) & (cols <= w))
-        g = jnp.where(valid, g, 0.0)
+        # dy arrives PRE-PADDED by one zero row/col low and two high (done
+        # in XLA by the caller — Mosaic supports neither low element-padding
+        # nor non-aligned W halos, and the pad costs one negligible
+        # elementwise pass); block rows are padded rows
+        # [hi*tile, hi*tile + tile + 3) = unpadded [hi*tile - 1, ...).
+        g = dy_ref[...].astype(jnp.float32)           # (tile+3, w+4, c)
 
         # separable FIR transpose: dA[i,j] = Σ_{s,t} f[s] f[t] dY[i-1+s, j-1+t]
         v = (t0 * g[0:tile] + t1 * g[1:tile + 1]
-             + t2 * g[2:tile + 2] + t3 * g[3:tile + 3])   # (tile, w+3, c)
+             + t2 * g[2:tile + 2] + t3 * g[3:tile + 3])   # (tile, w+4, c)
         u = (t0 * v[:, 0:w] + t1 * v[:, 1:w + 1]
              + t2 * v[:, 2:w + 2] + t3 * v[:, 3:w + 3])   # (tile, w, c)
 
         # gate from the bf16/f32 sum exactly as bias_act computes it
-        # (b.astype(x.dtype); sign decides the lrelu branch, x>=0 -> slope 1)
+        # (b.astype(x.dtype); sign decides the lrelu branch, x>=0 -> slope 1).
+        # Arithmetic indicator instead of jnp.where: the i1 mask vector from
+        # a broadcasted comparison trips a Mosaic relayout bug ("non-
+        # singleton logical dimension is replicated in destination").
         p = p0_ref[...]
-        s = p + b0_ref[0].astype(p.dtype)
-        gate = jnp.where(s >= 0, gain, gain * alpha)      # f32 weights
+        s = (p + b0_ref[0].astype(p.dtype)).astype(jnp.float32)
+        ind = jnp.minimum(jnp.sign(s) + 1.0, 1.0)         # 1.0 iff s >= 0
+        gate = gain * alpha + (gain - gain * alpha) * ind  # f32 weights
         dp = u * gate
         dp_ref[...] = dp.astype(dp_ref.dtype)
 
@@ -181,16 +182,23 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
     kernel = _make_kernel(taps, alpha, gain, tile, h, w)
     grid = (c // _LANES, bsz, h // tile)
 
+    # pre-pad in XLA: Mosaic supports neither low element-padding nor
+    # non-aligned W block halos, so give every overlapping row window a
+    # non-negative in-bounds offset instead. One elementwise pass over dy
+    # (~2 reads+writes of a cotangent tensor) — negligible vs the fusion
+    # this kernel replaces.
+    dy_pad = jnp.pad(dy, ((0, 0), (1, 2), (1, 2), (0, 0)))
+
     dp0, db0 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # element window with halo: rows/cols offsets are relative to the
-            # (1,1)-padded array, so returning (hi*tile, 0) reads unpadded
-            # rows [hi*tile-1, ...) and cols [-1, ...)
+            # overlapping element-offset row windows (stride tile, size
+            # tile+3) over the padded array; W/C full-width/128-aligned per
+            # Mosaic's last-two-dims block rule
             pl.BlockSpec(
-                (None, pl.Element(tile + 3, (1, 1)),
-                 pl.Element(w + 3, (1, 1)), pl.Element(_LANES)),
+                (None, pl.Element(tile + 3), pl.Element(w + 4),
+                 pl.Element(_LANES)),
                 lambda ci, bi, hi: (bi, hi * tile, 0, ci * _LANES),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((None, tile, w, _LANES),
@@ -213,10 +221,17 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
             jax.ShapeDtypeStruct((bsz, h, w, c), p0.dtype),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
+        # write dp0 in place over p0 (same shape/dtype; the kernel is p0's
+        # last consumer). Besides saving an allocation, this pins the output
+        # buffer explicitly: without it, buffer assignment under fused
+        # forward+backward programs was observed (v5e, axon stack) to place
+        # dp0 over a still-live forward tensor, corrupting the primal
+        # outputs (see PERFORMANCE.md round-3 notes).
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dy, p0, b0.astype(jnp.float32).reshape(1, c))
+    )(dy_pad, p0, b0.astype(jnp.float32).reshape(1, c))
     return dp0, db0[0].astype(b0.dtype)
 
 
@@ -257,12 +272,10 @@ def _make_skip_kernel(taps, tile, h, w):
     th, hh, wh = tile // 2, h // 2, w // 2
 
     def kernel(dc_ref, dys_ref, out_ref):
-        hi = pl.program_id(2)
+        # dys arrives PRE-PADDED by one zero row/col on each side (XLA-side;
+        # Mosaic supports no low element-padding): block rows are padded
+        # [hi*th, hi*th + th + 2) = unpadded [hi*th - 1, ...).
         d = dys_ref[...].astype(jnp.float32)          # (th+2, wh+2, c)
-        rows = hi * th - 1 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-        cols = -1 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        valid = ((rows >= 0) & (rows < hh) & (cols >= 0) & (cols < wh))
-        d = jnp.where(valid, d, 0.0)
 
         # phase-split zero-stuffed transpose: even output rows see taps
         # (f0, f2) of dys rows (m-1, m); odd rows taps (f1, f3) of (m, m+1)
@@ -289,6 +302,9 @@ def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False, tile=None):
     th = tile // 2
 
     kernel = _make_skip_kernel(taps, tile, h, w)
+    # pre-pad (see blur_t_gate_pallas): one zero row/col each side gives the
+    # overlapping windows non-negative in-bounds element offsets
+    dys_pad = jnp.pad(dys, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = pl.pallas_call(
         kernel,
         grid=(c // _LANES, bsz, h // tile),
@@ -297,8 +313,8 @@ def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False, tile=None):
                          lambda ci, bi, hi: (bi, hi, 0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (None, pl.Element(th + 2, (1, 1)),
-                 pl.Element(w // 2 + 2, (1, 1)), pl.Element(_LANES)),
+                (None, pl.Element(th + 2), pl.Element(w // 2 + 2),
+                 pl.Element(_LANES)),
                 lambda ci, bi, hi: (bi, hi * th, 0, ci * _LANES),
                 memory_space=pltpu.VMEM),
         ],
@@ -306,10 +322,13 @@ def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False, tile=None):
                                lambda ci, bi, hi: (bi, hi, 0, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), dc.dtype),
+        # in-place over dc (same shape/dtype, last consumer) — see
+        # blur_t_gate_pallas for why the explicit alias matters here
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dc, dys)
+    )(dc, dys_pad)
     return out
 
 
