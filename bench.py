@@ -172,7 +172,11 @@ def main():
             fn.lower(state, imgs).compile()
             print(f"[precompile] {name}: {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr)
-        print(json.dumps({"metric": METRIC, "precompile": True}))
+        # keep the one-JSON-line contract's keys present (value=None marks
+        # "no measurement" for any consumer parsing every bench line)
+        print(json.dumps({"metric": METRIC, "value": None, "unit":
+                          "images/sec/chip", "vs_baseline": None,
+                          "precompile": True}))
         return
 
     # warmup / compile (epoch 0 >= start_epoch 0 => full GAN step incl. R1).

@@ -138,6 +138,11 @@ def _make_kernel(taps, alpha, gain, tile, h, w):
         # Arithmetic indicator instead of jnp.where: the i1 mask vector from
         # a broadcasted comparison trips a Mosaic relayout bug ("non-
         # singleton logical dimension is replicated in destination").
+        # NaN note: for non-finite s, sign(NaN)=NaN so gate=NaN here, while
+        # the XLA oracle's where(s>=0) picks the alpha branch — either way
+        # dp is NaN (u*gate vs u*finite with u already NaN-poisoned upstream
+        # only matters for already-diverged training), so the divergence is
+        # accepted rather than paying an extra NaN-insensitive select.
         p = p0_ref[...]
         s = (p + b0_ref[0].astype(p.dtype)).astype(jnp.float32)
         ind = jnp.minimum(jnp.sign(s) + 1.0, 1.0)         # 1.0 iff s >= 0
