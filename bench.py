@@ -216,15 +216,66 @@ def main():
     if os.environ.get("VQGAN_BENCH_SECONDARY", "1") == "1" and on_tpu:
         secondary = {}
         for name, q_type in [("ema_vqvae", "ema"),
-                             ("standard_vqvae", "standard")]:
+                             ("standard_vqvae", "standard"),
+                             ("entropy_vqvae", "entropy")]:
             # a secondary-path failure must never lose the flagship number
             try:
                 secondary[name] = _bench_plain(raw, q_type, image_size, jnp)
             except Exception as exc:  # noqa: BLE001 — reported, not fatal
                 secondary[name] = f"error: {type(exc).__name__}: {exc}"[:200]
+        # plain-b32 GAN step (no grad accumulation): the flagship leg above
+        # runs the published cumulative_bs=256 grad_accum_steps=8 recipe when
+        # VQGAN_BENCH_ACCUM is unset, so this records the unaccumulated
+        # variant alongside it
+        if accum > 1:
+            try:
+                secondary["gan_b32_plain"] = _bench_gan_plain(raw, image_size,
+                                                              jnp)
+            except Exception as exc:  # noqa: BLE001
+                secondary["gan_b32_plain"] = (
+                    f"error: {type(exc).__name__}: {exc}"[:200])
         result["secondary"] = secondary
 
     print(json.dumps(result))
+
+
+def _bench_gan_plain(base_raw, image_size: int, jnp):
+    """img/s for the UNACCUMULATED 256^2 GAN step (b32, bf16, no remat) —
+    the same full workload as the flagship leg minus the micro-batch scan."""
+    import copy
+    import time
+
+    import jax
+    import numpy as np
+
+    from vqvae_tpu.config import parse_config
+    from vqvae_tpu.train.loop import Trainer
+
+    raw = copy.deepcopy(base_raw)
+    raw["training"].pop("grad_accum_steps", None)
+    cfg = parse_config(raw)
+
+    batch = 32
+    trainer = Trainer(cfg=cfg, learning_rate=1e-4, seed=0,
+                      steps_per_epoch=1000, mesh=None,
+                      compute_dtype=jnp.bfloat16, remat=False)
+    state = trainer.init_state()
+    images = np.random.RandomState(0).randint(
+        0, 255, (batch, image_size, image_size, 3), np.uint8)
+    batch_dict = {"image": jax.device_put(jnp.asarray(images))}
+
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch_dict, epoch=0)
+    _ = float(metrics["loss"])
+
+    n_steps, times = 16, []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = trainer.train_step(state, batch_dict, epoch=0)
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    return round(batch * n_steps / sorted(times)[1], 2)
 
 
 def _bench_plain(base_raw, q_type: str, image_size: int, jnp):
@@ -242,9 +293,13 @@ def _bench_plain(base_raw, q_type: str, image_size: int, jnp):
     raw.pop("loss", None)
     raw["training"].pop("grad_accum_steps", None)
     raw["quantizer"]["type"] = q_type
-    raw["quantizer"]["params"] = (
-        {"commitment_cost": 0.25} if q_type == "standard"
-        else {"commitment_cost": 0.25, "decay": 0.95, "epsilon": 1e-5})
+    raw["quantizer"]["params"] = {
+        "standard": {"commitment_cost": 0.25},
+        "ema": {"commitment_cost": 0.25, "decay": 0.95, "epsilon": 1e-5},
+        # example_confs/entropy_vqvae.yaml
+        "entropy": {"ent_loss_ratio": 0.1, "ent_temperature": 0.01,
+                    "ent_loss_type": "softmax", "commitment_cost": 0.25},
+    }[q_type]
     cfg = parse_config(raw)
 
     batch = 32

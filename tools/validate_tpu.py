@@ -15,8 +15,11 @@ Checks:
   4. GroupNorm (unbiased, fp32 stats) == numpy reference formula.
   5. bias_act activation table == jnp reference formulas.
   6. Fused D-backward Pallas kernel (blur-transpose ⊙ lrelu-gate + bias-grad,
-     element-window halos) == XLA oracle, and the fused Discriminator's
-     full parameter gradient == the plain module's.
+     element-window halos) == XLA oracle; the fused Discriminator's full
+     parameter gradient matches the plain module's EXACTLY in fp32, and in
+     bf16 sits within ~2x the plain path's own distance from the fp32 truth
+     (two independently-rounded bf16 paths do not bit-agree; see
+     tools/diag_fused_dbwd.py).
 """
 
 from __future__ import annotations
@@ -177,25 +180,50 @@ def validate_fused_dbwd(rs):
         ok = check(f"fused skip-bwd kernel [{jnp.dtype(dtype).name}]",
                    err < tol, f"max err {err:.2e}") and ok
 
-    # full-D gradient parity, fused vs plain, bf16 compute like training
+    # Full-D gradient acceptance. Two-part criterion (the round-3 probe
+    # demanded bit-level parity between TWO bf16 paths — the plain autodiff
+    # backward rounds the blur-transpose to bf16 at every op while the kernel
+    # carries fp32 through FIR+gate, so their difference AMPLIFIES through
+    # the remaining blocks' transposes and is NOT a kernel-correctness
+    # signal; tools/diag_fused_dbwd.py attributes it):
+    #   (a) fp32 composition exactness: fused == plain when nothing rounds;
+    #   (b) bf16 noise: fused must sit no farther from the fp32 truth than
+    #       ~2x the plain path's own bf16 distance (the reference holds its
+    #       CUDA grad kernels to the same vs-autograd-oracle standard).
     from vqvae_tpu.models.discriminator import Discriminator
-    disc = Discriminator(img_resolution=32, dtype=jnp.bfloat16)
     x = jnp.asarray(rs.rand(4, 32, 32, 3), jnp.float32)
-    dp = disc.init(jax.random.PRNGKey(0), x)["params"]
-    disc_f = disc.clone(fused_dbwd=True, fused_skip=True)
+    disc32 = Discriminator(img_resolution=32, dtype=jnp.float32)
+    dp = disc32.init(jax.random.PRNGKey(0), x)["params"]
 
-    def loss(module, d):
-        return jnp.sum(jnp.tanh(module.apply({"params": d}, x)
-                                .astype(jnp.float32)))
+    def grads(module):
+        def loss(d):
+            return jnp.sum(jnp.tanh(module.apply({"params": d}, x)
+                                    .astype(jnp.float32)))
+        return jax.jit(jax.grad(loss))(dp)
 
-    g_p = jax.jit(jax.grad(lambda d: loss(disc, d)))(dp)
-    g_f = jax.jit(jax.grad(lambda d: loss(disc_f, d)))(dp)
-    worst = 0.0
-    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_f)):
-        scale = float(jnp.max(jnp.abs(a))) + 1e-6
-        worst = max(worst, float(jnp.max(jnp.abs(a - b))) / scale)
-    ok = check("fused Discriminator grads == plain (bf16)", worst < 3e-2,
-               f"worst rel err {worst:.2e}") and ok
+    def worst_rel(g, ref):
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref)):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-6
+            worst = max(worst,
+                        float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                              - b.astype(jnp.float32)))) / scale)
+        return worst
+
+    truth = grads(disc32)
+    w_f32 = worst_rel(grads(disc32.clone(fused_dbwd=True, fused_skip=True)),
+                      truth)
+    ok = check("fused Discriminator grads == plain (fp32 composition)",
+               w_f32 < 1e-4, f"worst rel err {w_f32:.2e}") and ok
+
+    disc16 = Discriminator(img_resolution=32, dtype=jnp.bfloat16)
+    w_plain = worst_rel(grads(disc16), truth)
+    w_fused = worst_rel(grads(disc16.clone(fused_dbwd=True, fused_skip=True)),
+                        truth)
+    ok = check("fused D bf16 grads within plain-path bf16 noise",
+               w_fused <= max(2.0 * w_plain, 1e-3),
+               f"fused-vs-truth {w_fused:.2e}, plain-vs-truth {w_plain:.2e}"
+               ) and ok
     return ok
 
 

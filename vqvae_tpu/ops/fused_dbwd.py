@@ -232,7 +232,13 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
         # forward+backward programs was observed (v5e, axon stack) to place
         # dp0 over a still-live forward tensor, corrupting the primal
         # outputs (see PERFORMANCE.md round-3 notes).
-        input_output_aliases={1: 0},
+        # VQVAE_TPU_DBWD_NO_ALIAS=1 disables the donation — diagnostic lever
+        # for composed-program divergence (docs/DIAG_DBWD_r4.txt): a hard
+        # donation of a residual that buffer assignment still considers live
+        # is the converse corruption mode.
+        input_output_aliases=(
+            {} if os.environ.get("VQVAE_TPU_DBWD_NO_ALIAS") == "1"
+            else {1: 0}),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -329,7 +335,9 @@ def skip_fanout_bwd_pallas(dc, dys, taps, interpret=False, tile=None):
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), dc.dtype),
         # in-place over dc (same shape/dtype, last consumer) — see
         # blur_t_gate_pallas for why the explicit alias matters here
-        input_output_aliases={0: 0},
+        input_output_aliases=(
+            {} if os.environ.get("VQVAE_TPU_DBWD_NO_ALIAS") == "1"
+            else {0: 0}),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -102,6 +102,7 @@ class Trainer:
         cfg = self.cfg
         self.is_gumbel = cfg.quantizer.type == "gumbel"
         axis_name = "data" if self.mesh is not None else None
+        self._remat_auto = self.remat is None
         if self.remat is None:
             if self.per_device_batch is not None:
                 # threshold scales with the actual device HBM (12/16 GB was
@@ -294,6 +295,43 @@ class Trainer:
     def reset_usage(self, state: TrainState) -> TrainState:
         return state.replace(usage_count=jnp.zeros_like(state.usage_count))
 
+    def check_remat_gate(self, verbose: bool = True) -> Optional[str]:
+        """Audit the auto-remat decision against the runtime's ACTUAL memory
+        high-water mark (call once, after the first train step has run).
+
+        estimate_activation_gb is a coarse point-calibrated model; a silent
+        mis-estimate either flips remat on needlessly (~18% throughput lost,
+        PERFORMANCE.md) or runs the step near the OOM edge. Backends without
+        memory_stats (CPU tests) make this a no-op. Returns the warning
+        string (also printed) or None when the gate looks right."""
+        if not self._remat_auto:
+            return None
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            return None
+        peak = stats.get("peak_bytes_in_use")
+        limit = stats.get("bytes_limit")
+        if not peak or not limit:
+            return None
+        frac = peak / limit
+        msg = None
+        if not self.remat and frac > 0.92:
+            msg = (f"[remat-gate] auto-remat chose OFF but the first step "
+                   f"peaked at {peak / 1e9:.2f}/{limit / 1e9:.2f} GB "
+                   f"({frac:.0%}) — one allocator hiccup from OOM. Consider "
+                   "remat=True (or a smaller per-device batch); "
+                   "estimate_activation_gb under-estimated this config.")
+        elif self.remat and frac < 0.45:
+            msg = (f"[remat-gate] auto-remat chose ON but the first step "
+                   f"peaked at only {peak / 1e9:.2f}/{limit / 1e9:.2f} GB "
+                   f"({frac:.0%}) — the ~18% recompute tax is likely "
+                   "unnecessary. Consider remat=False; "
+                   "estimate_activation_gb over-estimated this config.")
+        if msg and verbose:
+            print(msg)
+        return msg
+
 
 def run_training(cfg: Config, train_loader, val_loader, *, seed: int,
                  learning_rate: float, save_dir: str, run_name: str,
@@ -366,6 +404,11 @@ def _run_epochs(trainer, train_loader, val_loader, *, save_dir,
         metric_sums = None
         for batch_index, batch in enumerate(train_loader):
             state, metrics = trainer.train_step(state, batch, epoch)
+            if epoch == start_epoch and batch_index == 0:
+                # fence the first step, then audit the auto-remat estimate
+                # against the runtime's actual high-water mark
+                jax.block_until_ready(metrics)
+                trainer.check_remat_gate()
             n_img += batch["image"].shape[0]
             # epoch-mean logging (reference on_epoch=True, model.py:277-286):
             # accumulate ON DEVICE (lazy adds) — a float() per step would
