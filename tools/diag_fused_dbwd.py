@@ -85,6 +85,19 @@ def _grads(disc, params, x):
     return jax.jit(jax.grad(loss))(params)
 
 
+def _loss_and_grads(disc, params, x):
+    """value_and_grad: the VALUE is the corruption probe — the primal is
+    identical math in fused and plain modules (pinned by
+    test_discriminator_fused_forward_identical), so any on-chip divergence
+    of the LOSS when the backward kernel runs means the kernel's DMAs are
+    clobbering live forward buffers (OOB write / aliasing), not computing
+    its own output wrong."""
+    def loss(d):
+        return jnp.sum(jnp.tanh(disc.apply({"params": d}, x)
+                                .astype(jnp.float32)))
+    return jax.jit(jax.value_and_grad(loss))(params)
+
+
 def _leaf_report(name, g, ref, topk=6):
     """Per-leaf max-abs error vs ref, normalized by the leaf's max |ref|."""
     rows = []
@@ -112,12 +125,22 @@ def full_d(rs):
     params = disc32.init(jax.random.PRNGKey(0), x)["params"]
 
     # fp32 plain = ground truth for the bf16 comparisons
-    truth = _grads(disc32, params, x)
+    loss_plain, truth = _loss_and_grads(disc32, params, x)
+
+    # 0. primal-corruption probe: identical math, so the VALUES must agree
+    # to float determinism; divergence => the backward kernel clobbers live
+    # forward buffers (see _loss_and_grads docstring)
+    fused32 = disc32.clone(fused_dbwd=True, fused_skip=True)
+    loss_fused, g_fused32 = _loss_and_grads(fused32, params, x)
+    dv = abs(float(loss_fused) - float(loss_plain)) / (
+        abs(float(loss_plain)) + 1e-9)
+    print(f"== primal loss: plain {float(loss_plain):.8f} "
+          f"fused {float(loss_fused):.8f} rel diff {dv:.3e} "
+          f"({'PRIMAL CORRUPTED by backward kernel' if dv > 1e-6 else 'primal intact'}) ==")
 
     # 1. fp32 fused vs fp32 plain: composition correctness of the kernels
-    fused32 = disc32.clone(fused_dbwd=True, fused_skip=True)
     w_f32, _ = _leaf_report("FP32 fused vs FP32 plain (kernel correctness)",
-                            _grads(fused32, params, x), truth)
+                            g_fused32, truth)
 
     # attribution runs if fp32 already diverges
     if w_f32 > 1e-4:

@@ -111,12 +111,12 @@ def _blur_t_gate_xla(dy, p0, b0, taps, alpha, gain):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(taps, alpha, gain, tile, h, w):
+def _make_kernel(taps, alpha, gain, tile, h, w, with_db=True):
     t0, t1, t2, t3 = (float(t) for t in taps)
     gain = float(gain)
     alpha = float(alpha)
 
-    def kernel(dy_ref, p0_ref, b0_ref, dp_ref, db_ref):
+    def kernel(dy_ref, p0_ref, b0_ref, dp_ref, db_ref=None):
         b = pl.program_id(1)
         hi = pl.program_id(2)
 
@@ -150,10 +150,11 @@ def _make_kernel(taps, alpha, gain, tile, h, w):
         dp = u * gate
         dp_ref[...] = dp.astype(dp_ref.dtype)
 
-        @pl.when((b == 0) & (hi == 0))
-        def _():
-            db_ref[...] = jnp.zeros_like(db_ref)
-        db_ref[...] += jnp.sum(dp, axis=(0, 1))[None, :]
+        if with_db:
+            @pl.when((b == 0) & (hi == 0))
+            def _():
+                db_ref[...] = jnp.zeros_like(db_ref)
+            db_ref[...] += jnp.sum(dp, axis=(0, 1))[None, :]
 
     return kernel
 
@@ -184,7 +185,14 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
     tile = tile or _row_tile(h)
     assert h % tile == 0
 
-    kernel = _make_kernel(taps, alpha, gain, tile, h, w)
+    # VQVAE_TPU_DBWD_NO_DBACC=1: drop the revisited fp32 bias-grad
+    # accumulator output and compute db as an XLA reduce over dp instead —
+    # diagnostic for the composed-program divergence (the skip kernel, which
+    # has no revisit accumulator, composes correctly; this isolates whether
+    # the multi-output revisit accumulation is what Mosaic miscompiles in
+    # larger programs). Read at trace time (fresh process per diag leg).
+    with_db = os.environ.get("VQVAE_TPU_DBWD_NO_DBACC") != "1"
+    kernel = _make_kernel(taps, alpha, gain, tile, h, w, with_db=with_db)
     grid = (c // _LANES, bsz, h // tile)
 
     # pre-pad in XLA: Mosaic supports neither low element-padding nor
@@ -194,7 +202,22 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
     # this kernel replaces.
     dy_pad = jnp.pad(dy, ((0, 0), (1, 2), (1, 2), (0, 0)))
 
-    dp0, db0 = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((None, tile, w, _LANES),
+                     lambda ci, bi, hi: (bi, hi, 0, ci),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((bsz, h, w, c), p0.dtype)]
+    if with_db:
+        # fp32 bias-grad accumulator: same block for every (b, hi) of a
+        # given channel tile (c is the OUTERMOST grid dim, so revisits
+        # are consecutive)
+        out_specs.append(pl.BlockSpec((1, _LANES),
+                                      lambda ci, bi, hi: (0, ci),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, c), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -212,20 +235,8 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
             pl.BlockSpec((1, _LANES), lambda ci, bi, hi: (0, ci),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((None, tile, w, _LANES),
-                         lambda ci, bi, hi: (bi, hi, 0, ci),
-                         memory_space=pltpu.VMEM),
-            # fp32 bias-grad accumulator: same block for every (b, hi) of a
-            # given channel tile (c is the OUTERMOST grid dim, so revisits
-            # are consecutive)
-            pl.BlockSpec((1, _LANES), lambda ci, bi, hi: (0, ci),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, h, w, c), p0.dtype),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # write dp0 in place over p0 (same shape/dtype; the kernel is p0's
         # last consumer). Besides saving an allocation, this pins the output
         # buffer explicitly: without it, buffer assignment under fused
@@ -243,7 +254,12 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dy_pad, p0, b0.astype(jnp.float32).reshape(1, c))
-    return dp0, db0[0].astype(b0.dtype)
+    if with_db:
+        dp0, db0 = outs
+        return dp0, db0[0].astype(b0.dtype)
+    dp0 = outs[0]
+    return dp0, jnp.sum(dp0.astype(jnp.float32),
+                        axis=(0, 1, 2)).astype(b0.dtype)
 
 
 def blur_t_gate(dy, p0, b0, taps, alpha, gain, impl=None, interpret=False):
