@@ -70,8 +70,13 @@ def cmp(name, got, want, atol=1e-5):
 
 
 def main():
+    interp = os.environ.get("DIAG_INTERPRET", "0") == "1"
     print(f"backend: {jax.default_backend()}, "
-          f"device: {jax.devices()[0].device_kind}")
+          f"device: {jax.devices()[0].device_kind}, "
+          f"interpret={interp}, "
+          f"NO_ALIAS={os.environ.get('VQVAE_TPU_DBWD_NO_ALIAS', '')!r}, "
+          f"NO_DBACC={os.environ.get('VQVAE_TPU_DBWD_NO_DBACC', '')!r}, "
+          f"TILE={os.environ.get('VQVAE_TPU_DBWD_TILE', '')!r}")
     rs = np.random.RandomState(0)
     B, H, C = 4, 32, 128
     p0 = jnp.asarray(rs.randn(B, H, H, C), jnp.float32)
@@ -80,7 +85,27 @@ def main():
     w0 = jnp.asarray(rs.randn(3, 3, C, C) * 0.02, jnp.float32)
     w1 = jnp.asarray(rs.randn(3, 3, C, C) * 0.02, jnp.float32)
 
-    fused = make_fused_act_blur(TAPS, alpha=ALPHA, gain=GAIN)
+    fused = make_fused_act_blur(TAPS, alpha=ALPHA, gain=GAIN,
+                                interpret=interp)
+
+    print("== ctx1 attribution: which gradient is wrong? ==")
+    for label, argnums in [("dp0", 0), ("db0", 1), ("dw1", 2)]:
+        g_f = jax.jit(jax.grad(lambda p, b, w: jnp.sum(
+            jnp.tanh(conv_down2(fused(p, b), w))),
+            argnums=argnums))(p0, b0, w1)
+        g_p = jax.jit(jax.grad(lambda p, b, w: jnp.sum(
+            jnp.tanh(conv_down2(plain_span(p, b), w))),
+            argnums=argnums))(p0, b0, w1)
+        cmp(label, g_f, g_p)
+    # primal-value probe for ctx1
+    v_f, _ = jax.jit(jax.value_and_grad(lambda p, b, w: jnp.sum(
+        jnp.tanh(conv_down2(fused(p, b), w)))))(p0, b0, w1)
+    v_p, _ = jax.jit(jax.value_and_grad(lambda p, b, w: jnp.sum(
+        jnp.tanh(conv_down2(plain_span(p, b), w)))))(p0, b0, w1)
+    print(f"  ctx1 primal: fused {float(v_f):.8f} plain {float(v_p):.8f} "
+          f"rel {abs(float(v_f) - float(v_p)) / (abs(float(v_p)) + 1e-9):.3e}")
+    if os.environ.get("DIAG_CTX1_ONLY", "0") == "1":
+        return
 
     print("== ctx0: span alone, constant cotangent ==")
     g_f = jax.jit(jax.grad(lambda p, b: jnp.sum(fused(p, b)),

@@ -15,11 +15,18 @@ Checks:
   4. GroupNorm (unbiased, fp32 stats) == numpy reference formula.
   5. bias_act activation table == jnp reference formulas.
   6. Fused D-backward Pallas kernel (blur-transpose ⊙ lrelu-gate + bias-grad,
-     element-window halos) == XLA oracle; the fused Discriminator's full
-     parameter gradient matches the plain module's EXACTLY in fp32, and in
-     bf16 sits within ~2x the plain path's own distance from the fp32 truth
-     (two independently-rounded bf16 paths do not bit-agree; see
+     element-window halos) == XLA oracle STANDALONE; composed, the fused
+     Discriminator's full parameter gradient must match the plain module's —
+     which, while the Mosaic-custom-call quarantine is active
+     (ops/fused_dbwd.py, docs/DIAG_DBWD_r4.txt), validates the quarantine
+     contract (the custom_vjp routes to its XLA oracle). fp32 must match
+     EXACTLY; bf16 within ~2x the plain path's own distance from the fp32
+     truth (two independently-rounded bf16 paths do not bit-agree; see
      tools/diag_fused_dbwd.py).
+  7. VQ kernels in a COMPOSED program (conv -> VQ -> STE loss -> grad, and
+     the fused stats variant) == the same program on the XLA impl — guards
+     against the class of stack bug found in round 4 where a correct Pallas
+     kernel corrupts the surrounding compiled program.
 """
 
 from __future__ import annotations
@@ -66,6 +73,66 @@ def validate_vq_stats_pallas(rs):
     return check("pallas VQ+stats == XLA oracle",
                  codes_ok and counts_ok and dw_err < 1e-3,
                  f"codes {codes_ok}, counts {counts_ok}, dw err {dw_err:.2e}")
+
+
+def validate_vq_composed(rs):
+    """COMPOSED-program acceptance for the VQ kernel.
+
+    The round-4 Mosaic finding (docs/DIAG_DBWD_r4.txt): on this stack a
+    Pallas custom-call can corrupt the SURROUNDING compiled program even
+    when the kernel is oracle-exact standalone (a trivially-correct copy
+    kernel reproduced the fused-D divergence). The VQ kernel runs inside
+    real EMA/standard train steps, so its acceptance must cover the composed
+    context too: upstream conv -> kernel -> STE loss -> grad, Pallas vs XLA
+    impl of the SAME program."""
+    from vqvae_tpu.ops.vq import nearest_codes, nearest_codes_stats
+
+    d, n = 128, 256
+    x = jnp.asarray(rs.rand(4, 16, 16, 32), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 32, d) * 0.05, jnp.float32)
+    cb = jnp.asarray(rs.randn(n, d), jnp.float32)
+
+    def step(w_, impl):
+        z = jax.lax.conv_general_dilated(
+            x, w_, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        flat = z.reshape(-1, d)  # M = 4*16*16 = 1024 (kernel-aligned)
+        codes = nearest_codes(flat, cb, impl=impl)
+        q = cb[codes]
+        q_ste = flat + jax.lax.stop_gradient(q - flat)
+        commit = jnp.sum((flat - jax.lax.stop_gradient(q)) ** 2)
+        return jnp.sum(jnp.tanh(q_ste)) + 0.25 * commit
+
+    ok = True
+    v_p, g_p = jax.jit(jax.value_and_grad(
+        lambda w_: step(w_, "pallas")))(w)
+    v_x, g_x = jax.jit(jax.value_and_grad(
+        lambda w_: step(w_, "xla")))(w)
+    dv = abs(float(v_p) - float(v_x)) / (abs(float(v_x)) + 1e-9)
+    dg = float(jnp.max(jnp.abs(g_p - g_x))) / (
+        float(jnp.max(jnp.abs(g_x))) + 1e-9)
+    ok = check("VQ kernel composed (conv->VQ->STE loss->grad) == XLA",
+               dv < 1e-6 and dg < 1e-5,
+               f"loss rel {dv:.2e}, grad rel {dg:.2e}") and ok
+
+    # fused stats kernel in the same composed position
+    def stats(w_, impl):
+        z = jax.lax.conv_general_dilated(
+            x, w_, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nearest_codes_stats(z.reshape(-1, d), cb, impl=impl)
+
+    c_p, n_p, dw_p = jax.jit(lambda w_: stats(w_, "pallas"))(w)
+    c_x, n_x, dw_x = jax.jit(lambda w_: stats(w_, "xla"))(w)
+    bad = int((np.asarray(c_p) != np.asarray(c_x)).sum())
+    dcnt = float(jnp.max(jnp.abs(n_p - n_x)))
+    ddw = float(jnp.max(jnp.abs(dw_p - dw_x))) / (
+        float(jnp.max(jnp.abs(dw_x))) + 1e-9)
+    ok = check("VQ stats kernel composed == XLA",
+               bad == 0 and dcnt == 0.0 and ddw < 1e-6,
+               f"{bad} code mismatches, dcounts {dcnt}, dw rel {ddw:.2e}"
+               ) and ok
+    return ok
 
 
 def validate_folded_upsample(rs):
@@ -180,7 +247,11 @@ def validate_fused_dbwd(rs):
         ok = check(f"fused skip-bwd kernel [{jnp.dtype(dtype).name}]",
                    err < tol, f"max err {err:.2e}") and ok
 
-    # Full-D gradient acceptance. Two-part criterion (the round-3 probe
+    # Full-D gradient acceptance. While the Mosaic quarantine is active
+    # (ops/fused_dbwd.py), the fused module's backward dispatches to the XLA
+    # oracle, so these probes pin the quarantine contract: enabling the
+    # fused flags must be numerically indistinguishable from the plain
+    # module. Two-part criterion (the round-3 probe
     # demanded bit-level parity between TWO bf16 paths — the plain autodiff
     # backward rounds the blur-transpose to bf16 at every op while the kernel
     # carries fp32 through FIR+gate, so their difference AMPLIFIES through
@@ -233,6 +304,7 @@ def main():
     results = [
         validate_vq_pallas(rs),
         validate_vq_stats_pallas(rs),
+        validate_vq_composed(rs),
         validate_folded_upsample(rs),
         validate_upfirdn_adjoint(rs),
         validate_groupnorm(rs),

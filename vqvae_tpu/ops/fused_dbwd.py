@@ -46,6 +46,38 @@ _IMPL_ENV = "VQVAE_TPU_DBWD_IMPL"  # 'xla' | 'pallas' | 'auto'
 
 _LANES = 128
 
+# QUARANTINE (round 4, docs/DIAG_DBWD_r4.txt): on this axon/libtpu stack,
+# splicing ANY Mosaic custom-call into this backward position corrupts the
+# surrounding compiled program — five structurally different kernels
+# (Element windows / full-plane dslice, alias on/off, db accumulator
+# on/off, tile 32/8) produce BIT-IDENTICAL wrong grads AND an 18%-wrong
+# forward loss value, and a trivially-correct Pallas COPY kernel spliced
+# onto dy reproduces the divergence (tools/diag_dbwd_min2.py) while
+# interpret mode (no custom-call) is exact. The kernels themselves are
+# oracle-exact at every block shape standalone. Until the stack is fixed,
+# 'auto' never lowers the compiled kernels; the custom_vjp backward runs
+# the XLA oracle (identical math to plain autodiff). Interpret mode (tests)
+# is unaffected. VQVAE_TPU_DBWD_UNSAFE=1 restores the compiled kernels for
+# diagnosis.
+_UNSAFE_ENV = "VQVAE_TPU_DBWD_UNSAFE"
+_warned_quarantine = False
+
+
+def _quarantined() -> bool:
+    global _warned_quarantine
+    if os.environ.get(_UNSAFE_ENV) == "1":
+        return False
+    if not _warned_quarantine:
+        _warned_quarantine = True
+        import warnings
+        warnings.warn(
+            "fused D-backward Pallas kernels are quarantined on compiled "
+            "TPU backends (Mosaic custom-calls corrupt composed programs "
+            "on this stack — docs/DIAG_DBWD_r4.txt); the fused-backward "
+            "custom_vjp runs its XLA oracle instead. "
+            f"Set {_UNSAFE_ENV}=1 to override for diagnosis.")
+    return True
+
 
 def _dispatch_impl(impl):
     if impl:
@@ -111,7 +143,8 @@ def _blur_t_gate_xla(dy, p0, b0, taps, alpha, gain):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(taps, alpha, gain, tile, h, w, with_db=True):
+def _make_kernel(taps, alpha, gain, tile, h, w, with_db=True,
+                 full_dy=False):
     t0, t1, t2, t3 = (float(t) for t in taps)
     gain = float(gain)
     alpha = float(alpha)
@@ -125,7 +158,16 @@ def _make_kernel(taps, alpha, gain, tile, h, w, with_db=True):
         # nor non-aligned W halos, and the pad costs one negligible
         # elementwise pass); block rows are padded rows
         # [hi*tile, hi*tile + tile + 3) = unpadded [hi*tile - 1, ...).
-        g = dy_ref[...].astype(jnp.float32)           # (tile+3, w+4, c)
+        if full_dy:
+            # VQVAE_TPU_DBWD_FULLDY: the whole padded (h+4, w+4) plane is
+            # the block (revisited across hi); take the overlapping row
+            # window with an in-kernel dynamic slice instead of a
+            # pl.Element window spec (whose composed-program Mosaic
+            # lowering miscompiles on this stack — docs/DIAG_DBWD_r4.txt)
+            g = dy_ref[pl.dslice(hi * tile, tile + 3), :, :].astype(
+                jnp.float32)                          # (tile+3, w+4, c)
+        else:
+            g = dy_ref[...].astype(jnp.float32)       # (tile+3, w+4, c)
 
         # separable FIR transpose: dA[i,j] = Σ_{s,t} f[s] f[t] dY[i-1+s, j-1+t]
         v = (t0 * g[0:tile] + t1 * g[1:tile + 1]
@@ -192,7 +234,9 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
     # the multi-output revisit accumulation is what Mosaic miscompiles in
     # larger programs). Read at trace time (fresh process per diag leg).
     with_db = os.environ.get("VQVAE_TPU_DBWD_NO_DBACC") != "1"
-    kernel = _make_kernel(taps, alpha, gain, tile, h, w, with_db=with_db)
+    full_dy = os.environ.get("VQVAE_TPU_DBWD_FULLDY") == "1"
+    kernel = _make_kernel(taps, alpha, gain, tile, h, w, with_db=with_db,
+                          full_dy=full_dy)
     grid = (c // _LANES, bsz, h // tile)
 
     # pre-pad in XLA: Mosaic supports neither low element-padding nor
@@ -221,14 +265,19 @@ def blur_t_gate_pallas(dy, p0, b0, taps, alpha, gain, interpret=False,
         kernel,
         grid=grid,
         in_specs=[
+            # full-plane block with in-kernel row slicing (FULLDY) or
             # overlapping element-offset row windows (stride tile, size
             # tile+3) over the padded array; W/C full-width/128-aligned per
             # Mosaic's last-two-dims block rule
-            pl.BlockSpec(
-                (None, pl.Element(tile + 3), pl.Element(w + 4),
-                 pl.Element(_LANES)),
-                lambda ci, bi, hi: (bi, hi * tile, 0, ci * _LANES),
-                memory_space=pltpu.VMEM),
+            (pl.BlockSpec((None, h + 4, w + 4, _LANES),
+                          lambda ci, bi, hi: (bi, 0, 0, ci),
+                          memory_space=pltpu.VMEM)
+             if full_dy else
+             pl.BlockSpec(
+                 (None, pl.Element(tile + 3), pl.Element(w + 4),
+                  pl.Element(_LANES)),
+                 lambda ci, bi, hi: (bi, hi * tile, 0, ci * _LANES),
+                 memory_space=pltpu.VMEM)),
             pl.BlockSpec((None, tile, w, _LANES),
                          lambda ci, bi, hi: (bi, hi, 0, ci),
                          memory_space=pltpu.VMEM),
@@ -271,7 +320,8 @@ def blur_t_gate(dy, p0, b0, taps, alpha, gain, impl=None, interpret=False):
             "impl='pallas' requested but the fused D-backward kernel cannot "
             f"run here (backend={_backend_name()!r}, dy={dy.shape}, "
             f"p0={p0.shape}; needs a TPU backend and C%128==0)")
-    if impl == "pallas" or (impl == "auto" and ok):
+    if impl == "pallas" or (impl == "auto" and ok
+                            and (interpret or not _quarantined())):
         return blur_t_gate_pallas(dy, p0, b0, tuple(float(t) for t in taps),
                                   float(alpha), float(gain),
                                   interpret=interpret,
@@ -410,7 +460,12 @@ def make_fused_skip_fanout(taps: Sequence[float], impl: str | None = None,
                 f"cannot run here (backend={_backend_name()!r}, "
                 f"dc={dc.shape}, dys={dys.shape}; needs a TPU backend, "
                 "C%128==0 and even H/W)")
-        if eff == "pallas" or (eff == "auto" and ok):
+        # the skip kernel composed EXACTLY in the full-D fp32 probe
+        # (docs/DIAG_DBWD_r4.txt "fused_skip ONLY": 4.6e-5) but the
+        # copy-kernel experiment shows the corruption is a property of the
+        # program, not the kernel — quarantine it alongside blur_t_gate
+        if eff == "pallas" or (eff == "auto" and ok
+                               and (interpret or not _quarantined())):
             return (skip_fanout_bwd_pallas(
                 dc, dys, taps, interpret=interpret,
                 tile=max(2, _row_tile(dc.shape[1]))),)
