@@ -292,3 +292,45 @@ def test_discriminator_fused_skip_parity(disc_pair):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6,
                                        err_msg=jax.tree_util.keystr(kp))
         np.testing.assert_allclose(gx, gx_f, rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mosaic quarantine (round 4, docs/DIAG_DBWD_r4.txt): on compiled TPU
+# backends 'auto' must route the custom_vjp backward to the XLA oracle —
+# the stack corrupts composed programs around Mosaic custom-calls in this
+# position — unless VQVAE_TPU_DBWD_UNSAFE=1.
+
+def test_quarantine_dispatch(monkeypatch):
+    import vqvae_tpu.ops.fused_dbwd as fd
+
+    calls = []
+    monkeypatch.setattr(fd, "blur_t_gate_pallas",
+                        lambda *a, **k: calls.append("pallas") or ("P", "P"))
+    monkeypatch.setattr(fd, "_blur_t_gate_xla",
+                        lambda *a, **k: calls.append("xla") or ("X", "X"))
+    # pretend we are on a compiled TPU backend with kernel-able shapes
+    monkeypatch.setattr(fd, "_pallas_ok", lambda dy, p0: True)
+    monkeypatch.setattr(fd, "_warned_quarantine", False)
+
+    rs = np.random.RandomState(0)
+    dy = _rand(rs, (1, 9, 9, 128), jnp.float32)
+    p0 = _rand(rs, (1, 8, 8, 128), jnp.float32)
+    b0 = _rand(rs, (128,), jnp.float32)
+
+    # default: quarantined -> oracle, with the one-time warning
+    monkeypatch.delenv("VQVAE_TPU_DBWD_UNSAFE", raising=False)
+    with pytest.warns(UserWarning, match="quarantined"):
+        blur_t_gate(dy, p0, b0, TAPS, ALPHA, GAIN, impl="auto")
+    assert calls == ["xla"]
+
+    # override restores the compiled kernel
+    calls.clear()
+    monkeypatch.setenv("VQVAE_TPU_DBWD_UNSAFE", "1")
+    blur_t_gate(dy, p0, b0, TAPS, ALPHA, GAIN, impl="auto")
+    assert calls == ["pallas"]
+
+    # interpret mode was never quarantined (no Mosaic involved)
+    calls.clear()
+    monkeypatch.delenv("VQVAE_TPU_DBWD_UNSAFE", raising=False)
+    blur_t_gate(dy, p0, b0, TAPS, ALPHA, GAIN, impl="auto", interpret=True)
+    assert calls == ["pallas"]
