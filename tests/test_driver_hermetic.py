@@ -63,7 +63,7 @@ def test_compiler_options_tpu_default(monkeypatch):
     jax.devices()  # ensure the (cpu) backend registry is non-empty
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert steps._xla_compiler_options() == {
-        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+        "xla_tpu_scoped_vmem_limit_kib": "57344"}
 
 
 def test_dryrun_multichip_never_dials_tpu():

@@ -95,11 +95,12 @@ def _xla_compiler_options() -> Optional[dict]:
     cannot receive via XLA_FLAGS). Override with VQVAE_TPU_XLA_OPTS
     ("flag=value,flag=value", or "none" to disable).
 
-    Default on TPU backends: xla_tpu_scoped_vmem_limit_kib=65536 — measured
-    +1.2% on the 256^2 GAN step (88.31 vs 87.27 img/s, PERFORMANCE.md); the
-    compiler's built-in retry handles programs whose ops cannot fit the
-    larger scoped window. 96 MB was rejected: compile time explodes (>45 min
-    vs ~10)."""
+    Default on TPU backends: xla_tpu_scoped_vmem_limit_kib=57344 — the
+    round-4 bracket optimum on the 256^2 GAN step (88.61 img/s, reproduced
+    3x; 48 MiB 88.55, 60 MiB 88.51, 64 MiB 88.31, 80 MiB 87.93 —
+    docs/CHIPQ_r4.txt, PERFORMANCE.md); the compiler's built-in retry
+    handles programs whose ops cannot fit the larger scoped window. 96 MB
+    was rejected: compile time explodes (>45 min vs ~10)."""
     import os
 
     spec = os.environ.get("VQVAE_TPU_XLA_OPTS", "").strip()
@@ -111,7 +112,7 @@ def _xla_compiler_options() -> Optional[dict]:
         # hermetic CPU paths (dryrun_multichip) set VQVAE_TPU_XLA_OPTS=none.
         backend = _initialized_backend()
         if backend in ("tpu", "axon"):
-            return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+            return {"xla_tpu_scoped_vmem_limit_kib": "57344"}
         return None
     if spec.lower() == "none":
         return None
