@@ -95,6 +95,57 @@ def _normalize_core_bwd(eps, out_dtype, res, ct):
 _normalize_core.defvjp(_normalize_core_fwd, _normalize_core_bwd)
 
 
+def lpips_tapvjp_default() -> bool:
+    """Resolve the fused tap-score toggle (env VQVAE_TPU_LPIPS_TAPVJP=1).
+
+    When ON, each layer's weighted-squared-diff score runs through
+    ``_tap_score``: a custom_vjp that saves the tap DIFFERENCE as its only
+    full-resolution residual instead of letting autodiff keep BOTH normalized
+    taps alive to the backward. Per tap the backward then reads one large
+    tensor (d) where the autodiff form read two (fx, fy) — ~0.5 GB/step less
+    HBM traffic at 256^2 b32, concentrated in the stage-1 transpose fusions
+    that profile at 290 GB/s (PERFORMANCE.md round-4 profile). Default OFF
+    until the on-chip A/B lands (measured-win rule)."""
+    return os.environ.get("VQVAE_TPU_LPIPS_TAPVJP", "0") == "1"
+
+
+@jax.custom_vjp
+def _tap_score(fx, fy, lin):
+    """Per-sample weighted squared tap distance (B,), fp32.
+
+    Primal is bit-identical to the module form
+    ``mean(einsum("bhwc,co->bhwo", (fx-fy)**2, lin), axis=(1,2,3))``
+    with the einsum accumulating fp32 over ``lin`` cast to the tap dtype."""
+    d = fx - fy
+    w = jnp.einsum("bhwc,co->bhwo", d * d, lin.astype(d.dtype),
+                   preferred_element_type=jnp.float32)
+    return jnp.mean(w, axis=(1, 2, 3))
+
+
+def _tap_score_fwd(fx, fy, lin):
+    d = fx - fy
+    w = jnp.einsum("bhwc,co->bhwo", d * d, lin.astype(d.dtype),
+                   preferred_element_type=jnp.float32)
+    return jnp.mean(w, axis=(1, 2, 3)), (d, lin)
+
+
+def _tap_score_bwd(res, ct):
+    d, lin = res
+    _, h, w, _ = d.shape
+    scale = (ct.astype(jnp.float32) / (h * w))[:, None, None, None]
+    lin_vec = lin[:, 0].astype(jnp.float32)
+    ct_fy = (-2.0 * d.astype(jnp.float32) * lin_vec * scale)
+    # frozen in training (LPIPS params live in no optimizer) but defined for
+    # generality; DCE'd whenever lin carries no cotangent
+    d_lin = jnp.einsum("bhwc,bhwo->co", jnp.square(d.astype(jnp.float32)),
+                       jnp.broadcast_to(scale, (*d.shape[:3], 1)))
+    return ((-ct_fy).astype(d.dtype), ct_fy.astype(d.dtype),
+            d_lin.astype(lin.dtype))
+
+
+_tap_score.defvjp(_tap_score_fwd, _tap_score_bwd)
+
+
 def _max_pool_2x2(x):
     """Non-overlapping 2x2/stride-2 max pool as reshape + max (exact).
 
@@ -430,9 +481,9 @@ class LPIPS(nn.Module):
         feat_y = net(z_score(y))
 
         total = 0.0
+        tapvjp = lpips_tapvjp_default()
         for i, (fx, fy, ch) in enumerate(zip(feat_x, feat_y, channels)):
             lin = self.param(f"lin{i}", nn.initializers.ones, (ch, 1), jnp.float32)
-            diff = (fx - fy) ** 2
             lin_eff = lin
             count_fix = 1.0
             if fx.shape[-1] == 2 * ch:
@@ -441,6 +492,11 @@ class LPIPS(nn.Module):
                 # lin head and halve the spatial mean
                 lin_eff = jnp.concatenate([lin, lin], axis=0)
                 count_fix = 0.5
+            if tapvjp:
+                # diff-residual VJP (see lpips_tapvjp_default)
+                total = total + count_fix * _tap_score(fx, fy, lin_eff)
+                continue
+            diff = (fx - fy) ** 2
             weighted = jnp.einsum("bhwc,co->bhwo", diff,
                                   lin_eff.astype(diff.dtype),
                                   preferred_element_type=jnp.float32)
