@@ -461,22 +461,29 @@ def run_validation(trainer, state, val_loader, epoch, logger=None,
     over the valid rows and reports `n_valid`, so tail samples contribute
     with their true weight (the earlier skip-partial-batch policy silently
     dropped up to batch_size-1 images — and produced NaN perplexity when the
-    whole set fit in one padded batch)."""
-    sums, total_n = {}, 0.0
-    usage = None
+    whole set fit in one padded batch).
+
+    n_valid-weighted sums accumulate ON DEVICE (lazy adds, the same pattern
+    as the train loop's epoch means): a float() per metric per batch would
+    fence the dispatch pipeline once per batch — one fetch of the whole sum
+    tree at the end instead."""
+    sums = total_n = usage = None
     for batch_index, batch in enumerate(val_loader):
         metrics, batch_usage, recons = trainer.eval_step(state, batch, epoch)
         usage = batch_usage if usage is None else usage + batch_usage
-        n = float(metrics.pop("n_valid"))
-        total_n += n
-        for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + float(v) * n
+        n = metrics.pop("n_valid")
+        weighted = jax.tree.map(lambda v, _n=n: v * _n, metrics)
+        sums = (weighted if sums is None
+                else jax.tree.map(jnp.add, sums, weighted))
+        total_n = n if total_n is None else total_n + n
         if batch_index == log_recon_batch and logger is not None:
             panel = make_recon_panel(_to_float01(batch["image"]),
                                      local_rows(recons))
             logger.log_images(panel, int(state.step),
                               "validation/reconstructions")
-    mean = {k: v / max(total_n, 1.0) for k, v in sums.items()}
-    if usage is None:
+    if sums is None:
         usage = np.zeros((trainer.cfg.quantizer.num_embeddings,), np.int32)
+        return {}, usage
+    sums, total_n, usage = jax.device_get((sums, total_n, usage))
+    mean = {k: float(v) / max(float(total_n), 1.0) for k, v in sums.items()}
     return mean, np.asarray(usage)
