@@ -21,17 +21,31 @@ table in BASELINE.md; overridable via $VQGAN_A100_BASELINE_IPS.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Process model: the driver-facing invocation (`python bench.py`) is a thin
+orchestrator that never touches the accelerator itself — each leg (flagship
++ every secondary config) runs in its OWN subprocess (`bench.py --leg NAME`)
+with a dedicated process and a quiet host. Round 4 measured why this
+matters on a 1-core host: the unaccumulated GAN leg reads 88.3 img/s in a
+dedicated process but 82.0 when run last in a process that already holds
+four other trainers (host-side context, not step time — PERFORMANCE.md
+"Other configurations"). The persistent compile cache makes the per-leg
+re-init cheap.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 METRIC = ("train images/sec/chip, 256^2 gumbel VQGAN "
           "(LPIPS + StyleGAN2 D + R1/16)")
+
+SECONDARY_LEGS = ("ema_vqvae", "standard_vqvae", "entropy_vqvae",
+                  "gan_b32_plain")
 
 
 def _emit_unavailable(reason: str) -> None:
@@ -51,9 +65,7 @@ def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool
     only after a probe executes a real device op does this process touch the
     backend itself.
     """
-    import subprocess
-
-    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+    probe =("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
              "print(float((x @ x).sum()))")
     deadline = time.monotonic() + max_wait_s
     attempt = 0
@@ -80,9 +92,12 @@ def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool
 
 
 def main():
-    # bounded wait-and-retry BEFORE any in-process backend touch; the driver
-    # invokes this file directly, so outage resilience must live here (not
-    # in tools/bench_sweep.sh)
+    """Driver-facing orchestrator: backend-silent in-process; every
+    measurement runs in its own dedicated subprocess (see module docstring).
+    """
+    # bounded wait-and-retry BEFORE any backend touch; the driver invokes
+    # this file directly, so outage resilience must live here (not in
+    # tools/bench_sweep.sh)
     max_wait = float(os.environ.get("VQGAN_BENCH_WAIT_S", 1200))
     if not _wait_for_backend(max_wait):
         _emit_unavailable(
@@ -90,6 +105,64 @@ def main():
             "(axon tunnel outage); no measurement taken")
         return
 
+    # flagship leg (cold compiles can take ~10 min even cache-warm-adjacent)
+    flagship_timeout = float(os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S", 5400))
+    out = _run_leg_subprocess("flagship", timeout_s=flagship_timeout)
+    if "error" in out:
+        _emit_unavailable(out["error"])
+        return
+    if out.get("precompile"):
+        print(json.dumps(out))
+        return
+    on_tpu = bool(out.pop("_on_tpu", False))
+    result = out
+
+    # secondary (non-flagship) configs — regression tracking for the non-GAN
+    # paths (PERFORMANCE.md "Other configurations"); same JSON line. Each in
+    # a dedicated subprocess so no leg measures another leg's host context.
+    if os.environ.get("VQGAN_BENCH_SECONDARY", "1") == "1" and on_tpu:
+        accum = int(os.environ.get("VQGAN_BENCH_ACCUM", 8))
+        legs = [l for l in SECONDARY_LEGS
+                if l != "gan_b32_plain" or accum > 1]
+        secondary = {}
+        for name in legs:
+            # a secondary-path failure must never lose the flagship number
+            leg = _run_leg_subprocess(name, timeout_s=float(
+                os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S", 3600)))
+            secondary[name] = leg.get("error", leg.get("value"))
+        result["secondary"] = secondary
+
+    print(json.dumps(result))
+
+
+def _run_leg_subprocess(name: str, timeout_s: float) -> dict:
+    """Run one bench leg in a dedicated subprocess; return its JSON dict or
+    {"error": ...}. Leg stderr is forwarded for diagnosability."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--leg", name]
+    try:
+        r = subprocess.run(cmd, timeout=timeout_s, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired:
+        return {"error": f"error: leg {name} timed out after "
+                         f"{timeout_s:.0f}s"}
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return {"error": (f"error: leg {name} rc={r.returncode}: "
+                          f"{tail[-1] if tail else '?'}")[:300]}
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    return {"error": f"error: leg {name} produced no JSON line"}
+
+
+def _run_leg(name: str) -> None:
+    """In-process single-leg measurement (the subprocess side). Touches the
+    backend directly — the orchestrator has already probed tunnel health."""
     import jax
     import jax.numpy as jnp
 
@@ -100,11 +173,24 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
-    import numpy as np
 
-    from vqvae_tpu.config import parse_config
-    from vqvae_tpu.train.loop import Trainer
+    raw, image_size, batch, accum, on_tpu = _flagship_raw(jax)
+    if name == "flagship":
+        _bench_flagship(raw, image_size, batch, accum, on_tpu, jnp)
+    elif name == "gan_b32_plain":
+        print(json.dumps({"leg": name,
+                          "value": _bench_gan_plain(raw, image_size, jnp)}))
+    else:
+        q_type = {"ema_vqvae": "ema", "standard_vqvae": "standard",
+                  "entropy_vqvae": "entropy"}[name]
+        print(json.dumps({"leg": name,
+                          "value": _bench_plain(raw, q_type, image_size,
+                                                jnp)}))
 
+
+def _flagship_raw(jax):
+    """The flagship config dict (published gumbel-VQGAN recipe) + leg-shared
+    sizing, derived from the live backend."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
     image_size = 256 if on_tpu else 32
     # CPU fallback must respect the GroupNorm(32) divisibility floor
@@ -144,6 +230,15 @@ def main():
     if accum > 1:
         batch = batch * accum
         raw["training"]["grad_accum_steps"] = accum
+    return raw, image_size, batch, accum, on_tpu
+
+
+def _bench_flagship(raw, image_size, batch, accum, on_tpu, jnp):
+    import jax
+    import numpy as np
+
+    from vqvae_tpu.config import parse_config
+    from vqvae_tpu.train.loop import Trainer
 
     cfg = parse_config(raw)
 
@@ -221,32 +316,10 @@ def main():
         # are reported so no denominator change can hide in a single ratio
         "anchor": {"ips": baseline, "assumed_a100_mfu": 0.40,
                    "vs_45pct_mfu_anchor": round(ips / 90.0, 3)},
+        # internal: tells the orchestrator whether secondary legs apply
+        # (stripped before the final line is printed)
+        "_on_tpu": on_tpu,
     }
-
-    # secondary (non-flagship) configs — regression tracking for the non-GAN
-    # paths (PERFORMANCE.md "Other configurations"); same JSON line
-    if os.environ.get("VQGAN_BENCH_SECONDARY", "1") == "1" and on_tpu:
-        secondary = {}
-        for name, q_type in [("ema_vqvae", "ema"),
-                             ("standard_vqvae", "standard"),
-                             ("entropy_vqvae", "entropy")]:
-            # a secondary-path failure must never lose the flagship number
-            try:
-                secondary[name] = _bench_plain(raw, q_type, image_size, jnp)
-            except Exception as exc:  # noqa: BLE001 — reported, not fatal
-                secondary[name] = f"error: {type(exc).__name__}: {exc}"[:200]
-        # plain-b32 GAN step (no grad accumulation): the flagship leg above
-        # runs the published cumulative_bs=256 grad_accum_steps=8 recipe when
-        # VQGAN_BENCH_ACCUM is unset, so this records the unaccumulated
-        # variant alongside it
-        if accum > 1:
-            try:
-                secondary["gan_b32_plain"] = _bench_gan_plain(raw, image_size,
-                                                              jnp)
-            except Exception as exc:  # noqa: BLE001
-                secondary["gan_b32_plain"] = (
-                    f"error: {type(exc).__name__}: {exc}"[:200])
-        result["secondary"] = secondary
 
     print(json.dumps(result))
 
@@ -338,11 +411,17 @@ def _bench_plain(base_raw, q_type: str, image_size: int, jnp):
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as exc:  # noqa: BLE001
-        # late failure (tunnel died mid-run): keep the stdout contract — one
-        # parseable JSON line; the traceback goes to stderr for debugging
-        import traceback
-        traceback.print_exc()
-        _emit_unavailable(f"bench failed: {type(exc).__name__}: {exc}"[:300])
+    if "--leg" in sys.argv:
+        # subprocess side: let failures propagate as rc!=0 + stderr traceback
+        # — the orchestrator converts them into an in-line error marker
+        _run_leg(sys.argv[sys.argv.index("--leg") + 1])
+    else:
+        try:
+            main()
+        except Exception as exc:  # noqa: BLE001
+            # late failure (tunnel died mid-run): keep the stdout contract —
+            # one parseable JSON line; traceback to stderr for debugging
+            import traceback
+            traceback.print_exc()
+            _emit_unavailable(
+                f"bench failed: {type(exc).__name__}: {exc}"[:300])

@@ -115,6 +115,33 @@ def test_bench_unavailable_emits_json(monkeypatch, capsys):
     assert result["unit"] == "images/sec/chip"
 
 
+def test_bench_orchestrator_merges_legs(monkeypatch, capsys):
+    """The driver-facing orchestrator strips the internal _on_tpu marker,
+    merges per-leg subprocess JSON into one line, and keeps a failed
+    secondary leg as an inline error string (never fatal)."""
+    bench = _load_bench()
+    legs = {
+        "flagship": {"metric": bench.METRIC, "value": 88.6,
+                     "unit": "images/sec/chip", "vs_baseline": 1.099,
+                     "anchor": {"ips": 80.6}, "_on_tpu": True},
+        "ema_vqvae": {"leg": "ema_vqvae", "value": 202.3},
+        "standard_vqvae": {"leg": "standard_vqvae", "value": 202.5},
+        "entropy_vqvae": {"leg": "entropy_vqvae", "value": 201.6},
+        "gan_b32_plain": {"error": "error: leg gan_b32_plain rc=1: boom"},
+    }
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench, "_run_leg_subprocess",
+                        lambda name, timeout_s: legs[name])
+    monkeypatch.setenv("VQGAN_BENCH_SECONDARY", "1")
+    monkeypatch.delenv("VQGAN_BENCH_ACCUM", raising=False)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 88.6
+    assert "_on_tpu" not in out
+    assert out["secondary"]["ema_vqvae"] == 202.3
+    assert out["secondary"]["gan_b32_plain"].startswith("error:")
+
+
 def test_bench_wait_for_backend_success(monkeypatch):
     bench = _load_bench()
 
