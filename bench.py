@@ -19,8 +19,13 @@ img/s/A100**. For transparency the JSON line also carries the old 45%
 anchor ratio (``anchor.vs_45pct_mfu_anchor``). Full derivation + sensitivity
 table in BASELINE.md; overridable via $VQGAN_A100_BASELINE_IPS.
 
-Prints ONE JSON line:
+Prints the flagship JSON line
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+IMMEDIATELY after the flagship leg completes, then (budget permitting) runs
+the secondary legs and prints the same line enriched with a "secondary"
+field. First and last JSON lines on stdout are both valid records — the
+early emission is deliberate, so a driver kill during secondary legs can
+never lose the flagship number (BENCH_r04 lesson).
 
 Process model: the driver-facing invocation (`python bench.py`) is a thin
 orchestrator that never touches the accelerator itself — each leg (flagship
@@ -56,7 +61,7 @@ def _emit_unavailable(reason: str) -> None:
                       "unavailable": reason}))
 
 
-def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
+def _wait_for_backend(max_wait_s: float) -> bool:
     """Wait (bounded) until JAX backend init succeeds.
 
     The axon tunnel has 15-60+ min outages during which backend init either
@@ -64,6 +69,12 @@ def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool
     cancelled in-process, so each probe runs in a SUBPROCESS under a timeout;
     only after a probe executes a real device op does this process touch the
     backend itself.
+
+    Probe budgets ESCALATE (60s → 120s → 240s): round 4's driver record
+    (BENCH_r04.json rc=124) burned 8 min on two flat 240s probe hangs before
+    any measurement; a healthy tunnel answers in seconds, so the first probe
+    is cheap and longer budgets are granted only after a hang — evidence of
+    a live-but-slow tunnel worth waiting for.
     """
     probe =("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
              "print(float((x @ x).sum()))")
@@ -71,6 +82,7 @@ def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool
     attempt = 0
     while True:
         attempt += 1
+        probe_timeout_s = (60.0, 120.0)[attempt - 1] if attempt <= 2 else 240.0
         budget = min(probe_timeout_s, max(deadline - time.monotonic(), 30.0))
         try:
             r = subprocess.run([sys.executable, "-c", probe],
@@ -94,7 +106,21 @@ def _wait_for_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool
 def main():
     """Driver-facing orchestrator: backend-silent in-process; every
     measurement runs in its own dedicated subprocess (see module docstring).
+
+    Stdout contract (round-5 restructure — BENCH_r04 was rc=124/parsed=null
+    because the single JSON line was held back until all five legs finished):
+    the FLAGSHIP JSON line is printed and flushed the moment the flagship leg
+    returns; secondary legs then run budget-aware, and a second, enriched
+    line (same flagship fields + "secondary") follows. A consumer parsing
+    either the first or the last JSON line gets a valid record; a mid-run
+    kill after the flagship leg still leaves one parseable line on stdout.
     """
+    t_start = time.monotonic()
+    # total wall budget for this process; secondary legs are skipped (with an
+    # in-JSON marker) rather than allowed to push past it. Must sit well
+    # under the driver's own kill timeout.
+    deadline_s = float(os.environ.get("VQGAN_BENCH_DEADLINE_S", 3600))
+
     # bounded wait-and-retry BEFORE any backend touch; the driver invokes
     # this file directly, so outage resilience must live here (not in
     # tools/bench_sweep.sh)
@@ -105,34 +131,56 @@ def main():
             "(axon tunnel outage); no measurement taken")
         return
 
-    # flagship leg (cold compiles can take ~10 min even cache-warm-adjacent)
-    flagship_timeout = float(os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S", 5400))
+    # flagship leg (cold compiles can take ~10 min even cache-warm-adjacent):
+    # gets whatever remains of the budget, floored so a slow backend wait
+    # can't starve the one measurement that matters
+    flagship_timeout = float(os.environ.get(
+        "VQGAN_BENCH_LEG_TIMEOUT_S",
+        max(deadline_s - (time.monotonic() - t_start) - 120.0, 1200.0)))
     out = _run_leg_subprocess("flagship", timeout_s=flagship_timeout)
     if "error" in out:
         _emit_unavailable(out["error"])
         return
     if out.get("precompile"):
-        print(json.dumps(out))
+        print(json.dumps(out), flush=True)
         return
     on_tpu = bool(out.pop("_on_tpu", False))
     result = out
+    # the driver-facing record, on stdout BEFORE any secondary work begins
+    print(json.dumps(result), flush=True)
 
     # secondary (non-flagship) configs — regression tracking for the non-GAN
-    # paths (PERFORMANCE.md "Other configurations"); same JSON line. Each in
-    # a dedicated subprocess so no leg measures another leg's host context.
+    # paths (PERFORMANCE.md "Other configurations"). Each in a dedicated
+    # subprocess so no leg measures another leg's host context; each gated on
+    # the remaining wall budget.
     if os.environ.get("VQGAN_BENCH_SECONDARY", "1") == "1" and on_tpu:
+        est_leg_s = float(os.environ.get("VQGAN_BENCH_LEG_EST_S", 480))
         accum = int(os.environ.get("VQGAN_BENCH_ACCUM", 8))
         legs = [l for l in SECONDARY_LEGS
                 if l != "gan_b32_plain" or accum > 1]
         secondary = {}
         for name in legs:
+            remaining = deadline_s - (time.monotonic() - t_start)
+            if remaining < est_leg_s:
+                secondary[name] = (f"skipped: {remaining:.0f}s left of "
+                                   f"{deadline_s:.0f}s budget")
+                continue
             # a secondary-path failure must never lose the flagship number
-            leg = _run_leg_subprocess(name, timeout_s=float(
-                os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S", 3600)))
+            leg = _run_leg_subprocess(name, timeout_s=min(remaining, float(
+                os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S", 3600))))
             secondary[name] = leg.get("error", leg.get("value"))
+        if "gan_b32_plain" in secondary and isinstance(
+                secondary["gan_b32_plain"], (int, float)):
+            # serial-host contamination: earlier legs heat this 1-core host;
+            # the dedicated-process isolated reading is 88.29 img/s
+            # (PERFORMANCE.md "Other configurations") — annotate so the
+            # in-line number is never mistaken for the leg's true value
+            secondary["gan_b32_plain"] = {
+                "value": secondary["gan_b32_plain"],
+                "note": "serial-host reading; trust the isolated 88.29 "
+                        "(PERFORMANCE.md)"}
         result["secondary"] = secondary
-
-    print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 def _run_leg_subprocess(name: str, timeout_s: float) -> dict:
@@ -311,10 +359,12 @@ def _bench_flagship(raw, image_size, batch, accum, on_tpu, jnp):
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
         # anchor transparency (BASELINE.md "Anchor sensitivity"): the proxy's
-        # one free parameter is the assumed reference A100 MFU; both the
-        # 40%-MFU default anchor and the retired 45% generous-end placeholder
-        # are reported so no denominator change can hide in a single ratio
+        # one free parameter is the assumed reference A100 MFU. The anchor is
+        # FROZEN as of round 5 (only a measured A100 number via
+        # $VQGAN_A100_BASELINE_IPS may replace it); the full sensitivity row
+        # rides in every line so no denominator change can hide in one ratio
         "anchor": {"ips": baseline, "assumed_a100_mfu": 0.40,
+                   "vs_35pct_mfu_anchor": round(ips / 70.4, 3),
                    "vs_45pct_mfu_anchor": round(ips / 90.0, 3)},
         # internal: tells the orchestrator whether secondary legs apply
         # (stripped before the final line is printed)

@@ -151,3 +151,120 @@ def test_bench_wait_for_backend_success(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", lambda *a, **kw: _OK())
     assert bench._wait_for_backend(max_wait_s=5) is True
+
+
+def test_bench_flagship_line_precedes_secondary_legs(monkeypatch, capsys):
+    """Round-5 contract (BENCH_r04 rc=124/parsed=null): the flagship JSON
+    line must be ON STDOUT before any secondary leg starts, so a driver kill
+    mid-secondary still leaves one parseable record. The final (enriched)
+    line must repeat the flagship fields."""
+    bench = _load_bench()
+    seen_at_first_secondary = []
+    captured = []
+
+    def fake_leg(name, timeout_s):
+        if name == "flagship":
+            return {"metric": bench.METRIC, "value": 88.6,
+                    "unit": "images/sec/chip", "vs_baseline": 1.099,
+                    "_on_tpu": True}
+        if not seen_at_first_secondary:
+            captured.append(capsys.readouterr().out)
+            seen_at_first_secondary.append("".join(captured))
+        return {"leg": name, "value": 200.0}
+
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench, "_run_leg_subprocess", fake_leg)
+    monkeypatch.setenv("VQGAN_BENCH_SECONDARY", "1")
+    monkeypatch.delenv("VQGAN_BENCH_ACCUM", raising=False)
+    monkeypatch.delenv("VQGAN_BENCH_DEADLINE_S", raising=False)
+    bench.main()
+    captured.append(capsys.readouterr().out)
+
+    # a complete flagship record was on stdout before the first secondary leg
+    assert seen_at_first_secondary, "no secondary leg ran"
+    early_lines = [json.loads(line) for line
+                   in seen_at_first_secondary[0].strip().splitlines()
+                   if line.startswith("{")]
+    assert len(early_lines) == 1
+    assert early_lines[0]["value"] == 88.6
+    assert early_lines[0]["vs_baseline"] == 1.099
+    assert "_on_tpu" not in early_lines[0]
+
+    # final enriched line repeats the flagship fields + secondary
+    final = json.loads("".join(captured).strip().splitlines()[-1])
+    assert final["value"] == 88.6 and "secondary" in final
+    # first and last lines are BOTH valid driver records
+    first = json.loads("".join(captured).strip().splitlines()[0])
+    assert first["value"] == final["value"]
+    assert first["vs_baseline"] == final["vs_baseline"]
+
+
+def test_bench_secondary_legs_budget_skipped(monkeypatch, capsys):
+    """Secondary legs are skipped with an in-JSON marker once the wall budget
+    is exhausted — they can never push the process past the driver's kill."""
+    bench = _load_bench()
+    ran = []
+
+    def fake_leg(name, timeout_s):
+        ran.append(name)
+        return {"metric": bench.METRIC, "value": 88.6,
+                "unit": "images/sec/chip", "vs_baseline": 1.099,
+                "_on_tpu": True}
+
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench, "_run_leg_subprocess", fake_leg)
+    monkeypatch.setenv("VQGAN_BENCH_SECONDARY", "1")
+    monkeypatch.setenv("VQGAN_BENCH_DEADLINE_S", "0")  # budget already gone
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ran == ["flagship"]
+    assert all(str(v).startswith("skipped:")
+               for v in out["secondary"].values())
+
+
+def test_bench_gan_b32_plain_contamination_annotated(monkeypatch, capsys):
+    """The serial-host gan_b32_plain reading ships annotated, never as a bare
+    number the repo's own docs say to distrust (PERFORMANCE.md)."""
+    bench = _load_bench()
+    legs = {
+        "flagship": {"metric": bench.METRIC, "value": 88.6,
+                     "unit": "images/sec/chip", "vs_baseline": 1.099,
+                     "_on_tpu": True},
+        "ema_vqvae": {"leg": "ema_vqvae", "value": 202.3},
+        "standard_vqvae": {"leg": "standard_vqvae", "value": 202.5},
+        "entropy_vqvae": {"leg": "entropy_vqvae", "value": 201.6},
+        "gan_b32_plain": {"leg": "gan_b32_plain", "value": 82.0},
+    }
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench, "_run_leg_subprocess",
+                        lambda name, timeout_s: legs[name])
+    monkeypatch.setenv("VQGAN_BENCH_SECONDARY", "1")
+    monkeypatch.delenv("VQGAN_BENCH_ACCUM", raising=False)
+    monkeypatch.delenv("VQGAN_BENCH_DEADLINE_S", raising=False)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    leg = out["secondary"]["gan_b32_plain"]
+    assert leg["value"] == 82.0 and "note" in leg
+    assert out["secondary"]["ema_vqvae"] == 202.3  # others stay bare
+
+
+def test_bench_probe_budget_escalates(monkeypatch):
+    """Probe timeouts escalate 60 → 120 → 240 (round-4 burned 8 min on two
+    flat 240s hangs before any measurement)."""
+    bench = _load_bench()
+    budgets = []
+
+    def fake_run(*a, **kw):
+        budgets.append(kw["timeout"])
+        if len(budgets) < 4:
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=kw["timeout"])
+
+        class _OK:
+            returncode = 0
+            stderr = ""
+        return _OK()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._wait_for_backend(max_wait_s=100000) is True
+    assert budgets == [60.0, 120.0, 240.0, 240.0]

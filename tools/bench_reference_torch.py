@@ -20,6 +20,11 @@ Two modes:
       anchor models, Lightning hook overhead included
       (reference train.py:128-142, model.py:232-295). Needs the full
       reference env: pytorch_lightning, kornia, torchvision.
+      CAVEAT for the connected-machine operator: this mode's wiring has
+      never executed (pytorch_lightning is not installed in the offline
+      build environment; tests/test_bench_reference.py covers module mode
+      only) — expect possible first-run breakage and sanity-check the
+      printed img/s against batch*timed_steps/wall-clock by hand.
 
   module — a hand-rolled two-optimizer loop over the reference's *modules*
       (Encoder/Decoder/quantizer/VQLPIPSWithDiscriminator), with the batch
@@ -155,23 +160,37 @@ def run_lightning(args):
     times = {}
 
     class Timer(pl.Callback):
+        """Counts BATCHES directly. Do not use trainer.global_step here: the
+        reference uses manual optimization (reference model.py:437) with two
+        optimizer.step() calls per batch in GAN mode, and PL>=2.0 increments
+        global_step once per optimizer.step() — i.e. +2 per batch — which
+        would halve the timed window and inflate the measured baseline ~2x
+        (ADVICE r4)."""
+
+        def __init__(self):
+            self.batches_done = 0
+
         def on_train_batch_start(self, trainer, *a, **kw):
-            if trainer.global_step == args.warmup_steps:
+            if self.batches_done == args.warmup_steps:
                 if torch.cuda.is_available():
                     torch.cuda.synchronize()
                 times["t0"] = time.perf_counter()
 
         def on_train_batch_end(self, trainer, *a, **kw):
-            if trainer.global_step >= n_steps:
+            self.batches_done += 1
+            if self.batches_done >= n_steps:
                 if torch.cuda.is_available():
                     torch.cuda.synchronize()
                 times["t1"] = time.perf_counter()
                 trainer.should_stop = True
 
     accel = "gpu" if torch.cuda.is_available() else "cpu"
+    # max_steps counts optimizer.step() calls (2x per batch in GAN manual
+    # optimization) — it is only the backstop; the Timer's batch counter is
+    # what actually stops the run via trainer.should_stop
     trainer = pl.Trainer(accelerator=accel, devices=1,
                          precision="16-mixed" if accel == "gpu" else "32",
-                         max_steps=n_steps + 1, max_epochs=10_000,
+                         max_steps=2 * n_steps + 2, max_epochs=10_000,
                          logger=False, enable_checkpointing=False,
                          enable_progress_bar=False, callbacks=[Timer()],
                          num_sanity_val_steps=0, limit_val_batches=0)

@@ -97,6 +97,12 @@ class Trainer:
     # 256^2 b32 GAN step fits without it, PERFORMANCE.md)
     remat: Optional[bool] = None
     per_device_batch: Optional[int] = None  # feeds the auto-remat estimate
+    # train-time augmentations (reference always-on); False = normalize only,
+    # for the cross-framework trajectory parity tests (test_trajectory_parity)
+    augment: bool = True
+    # extra Discriminator ctor kwargs (e.g. a shrunk channel_base in tests);
+    # None = the reference architecture (discriminator.py:360-412 defaults)
+    disc_kwargs: Optional[dict] = None
 
     def __post_init__(self):
         cfg = self.cfg
@@ -142,41 +148,56 @@ class Trainer:
         self.disc_tx = None
         lpips_apply = None
         if cfg.loss is not None:
-            net_type = "vgg" if cfg.use_adversarial else "alex"
-            # train-time LPIPS runs the backbone in the compute dtype
-            # (reference runs it under AMP 16-mixed); eval uses fp32
-            lpips_module, lpips_params = init_lpips(net_type, cfg.image_size,
-                                                    seed=self.seed,
-                                                    dtype=self.compute_dtype)
-            if self.lpips_params_override is not None:
-                lpips_params = self.lpips_params_override
-            self.lpips_params = lpips_params
+            if cfg.loss.perc_weight == 0.0 and not (
+                    cfg.use_adversarial and cfg.loss.adversarial.use_adaptive):
+                # perc_weight 0: elide the whole LPIPS backbone (its loss term
+                # is exactly p*0). NOT valid under use_adaptive, whose lambda
+                # uses the UNWEIGHTED p_loss gradient (reference loss.py:89,
+                # model.py:249-251) — that path keeps the real module below.
+                # Divergence note: the reference would still log the raw LPIPS
+                # value as perc_loss; here it logs 0 for this config.
+                def lpips_apply(x, y, reduce=True):
+                    z = jnp.zeros((x.shape[0],), jnp.float32)
+                    return jnp.mean(z) if reduce else z
 
-            import os as _os
-            if (net_type == "vgg"
-                    and _os.environ.get("VQVAE_TPU_LPIPS_FUSED", "0") == "1"):
-                # opt-in (measured OFF on v5e: 83.9 vs 87.3 img/s — see
-                # PERFORMANCE.md "rejected"): ONE concatenated backbone pass
-                # per step with a manual recon-half backward (models/lpips.py
-                # make_fused_lpips_vgg; equality vs the module pinned by
-                # test_lpips_fused)
-                from vqvae_tpu.models.lpips import make_fused_lpips_vgg
-                fused = make_fused_lpips_vgg(lpips_params,
-                                             dtype=self.compute_dtype)
-
-                def lpips_apply(x, y, reduce=True, _f=fused):
-                    d = _f(x, y)
-                    return jnp.mean(d) if reduce else d
+                self.lpips_params = None
             else:
-                def lpips_apply(x, y, reduce=True, _m=lpips_module,
-                                _p=lpips_params):
-                    return _m.apply({"params": _p}, x, y, reduce=reduce)
+                net_type = "vgg" if cfg.use_adversarial else "alex"
+                # train-time LPIPS runs the backbone in the compute dtype
+                # (reference runs it under AMP 16-mixed); eval uses fp32
+                lpips_module, lpips_params = init_lpips(
+                    net_type, cfg.image_size, seed=self.seed,
+                    dtype=self.compute_dtype)
+                if self.lpips_params_override is not None:
+                    lpips_params = self.lpips_params_override
+                self.lpips_params = lpips_params
+
+                import os as _os
+                if (net_type == "vgg"
+                        and _os.environ.get("VQVAE_TPU_LPIPS_FUSED", "0") == "1"):
+                    # opt-in (measured OFF on v5e: 83.9 vs 87.3 img/s — see
+                    # PERFORMANCE.md "rejected"): ONE concatenated backbone
+                    # pass per step with a manual recon-half backward
+                    # (models/lpips.py make_fused_lpips_vgg; equality vs the
+                    # module pinned by test_lpips_fused)
+                    from vqvae_tpu.models.lpips import make_fused_lpips_vgg
+                    fused = make_fused_lpips_vgg(lpips_params,
+                                                 dtype=self.compute_dtype)
+
+                    def lpips_apply(x, y, reduce=True, _f=fused):
+                        d = _f(x, y)
+                        return jnp.mean(d) if reduce else d
+                else:
+                    def lpips_apply(x, y, reduce=True, _m=lpips_module,
+                                    _p=lpips_params):
+                        return _m.apply({"params": _p}, x, y, reduce=reduce)
 
             if cfg.use_adversarial:
                 # the reference's D also ran under AMP; bf16 compute + remat
                 self.disc = Discriminator(img_resolution=cfg.image_size,
                                           dtype=self.compute_dtype,
-                                          remat=self.remat)
+                                          remat=self.remat,
+                                          **(self.disc_kwargs or {}))
                 # The discriminator's optax step count starts at 0 when the
                 # GAN phase begins (no D updates before start_epoch), but the
                 # reference drives BOTH optimizers' LR from the GLOBAL step
@@ -196,7 +217,7 @@ class Trainer:
             cfg, self.model, self.tx, self.mesh,
             disc=self.disc, disc_tx=self.disc_tx, lpips_apply=lpips_apply,
             lr_sched=self.lr_sched, temp_sched=self.temp_sched,
-            kl_sched=self.kl_sched)
+            kl_sched=self.kl_sched, augment=self.augment)
 
         # host-side mirror of state.step: picks the R1-staged executable on
         # the r1_reg_every cadence WITHOUT a device sync per step (int(
@@ -406,8 +427,12 @@ def _run_epochs(trainer, train_loader, val_loader, *, save_dir,
             state, metrics = trainer.train_step(state, batch, epoch)
             if epoch == start_epoch and batch_index == 0:
                 # fence the first step, then audit the auto-remat estimate
-                # against the runtime's actual high-water mark
-                jax.block_until_ready(metrics)
+                # against the runtime's actual high-water mark. Must be a
+                # device->host READBACK: on the axon TPU stack (the only
+                # place memory_stats exists) block_until_ready returns while
+                # executions are still pipelined, so it would sample
+                # peak_bytes_in_use before the step ran (ADVICE r4)
+                jax.device_get(metrics)
                 trainer.check_remat_gate()
             n_img += batch["image"].shape[0]
             # epoch-mean logging (reference on_epoch=True, model.py:277-286):
