@@ -1,0 +1,424 @@
+"""Cross-framework N-step TRAINING-TRAJECTORY parity vs the torch reference.
+
+Every other parity test is forward/op-level (weight-copy + one forward); this
+module pins that N *optimizer steps* of this framework track N steps of the
+reference's training math — the bug class unit parity can't catch
+(VERDICT r4 #2):
+
+- AdamW decay/no-decay split + betas(0,0.99)/eps/wd (reference
+  model.py:372-440, torch.optim.AdamW semantics vs train/optim.py incl. the
+  b1=0 first-moment elision),
+- per-batch LR schedule application to every param group of both optimizers
+  (model.py:202-216; the LR *values* on the torch side come from this repo's
+  native scheduler twin — the scheduling_utils C++ package itself is not
+  installable offline; its formula is re-derived and pinned by
+  test_schedules — so what this file pins is the application semantics),
+- loss composition and the two-phase manual GAN ordering: AE update first,
+  D update on the SAME pre-update reconstructions, detached
+  (model.py:232-264, loss.py:114-164),
+- the R1 cadence every r1_reg_every steps with full second-order parameter
+  gradients (loss.py:98-112,144-164 — on torch>=1.10 conv2d_gradfix's
+  no_weight_gradients is a no-op fallback, so the reference's R1 DOES
+  back-prop through weights, matching our native 2nd-order AD),
+- EMA codebook state dynamics across steps (vector_quantizers.py:128-180,
+  including the replicated batch-size Laplace-smoothing quirk, PARITY §2.4).
+
+DELIBERATE divergence pinned by test_reference_optimizer_drops_encoder:
+the reference's configure_optimizers builds its param dict from *relative*
+parameter names of encoder/decoder/quantizer, so every encoder param whose
+name collides with a decoder param ('conv_in.weight', 'blocks.{k}.*',
+'norm.*', 'conv_out.*') is silently DROPPED from the AE optimizer — in the
+published code most of the encoder never trains (only final_residual.* and
+non-colliding shortcut convs do). This framework trains all params (the
+obvious intent of the karpathy split being replicated); the torch loops here
+therefore use the *intended* split (same decay rules, unique names).
+
+Both sides run fp32, no augmentations (Trainer(augment=False) vs feeding
+pre-normalized tensors), identical torch-initialized weights, identical
+per-step batches.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqvae_tpu.config import parse_config
+from vqvae_tpu.train.loop import Trainer
+from vqvae_tpu.utils.torch_convert import (
+    convert_discriminator_state_dict, convert_encoder, convert_decoder,
+    convert_quantizer)
+
+CH, NRB, MULT, EDIM, NCODES, IMG = 32, 1, (1, 2), 8, 32, 16
+LR = 1e-3          # large enough that 20+ steps move the weights visibly
+DECAY_EPOCHS = 1   # cosine decays over ONE epoch => LR moves during the test
+BETAS, EPS, WD = (0.0, 0.99), 1e-8, 1e-4
+D_CHANNEL_BASE = 512  # tiny discriminator: ch 32 @16, 64 @8, 128 @4
+
+
+@pytest.fixture(scope="module")
+def torch_ref(reference_path):
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, reference_path)
+    from vqvae.modules import autoencoder as ref_ae      # noqa
+    from vqvae.modules import vector_quantizers as ref_vq  # noqa
+    torch.set_num_threads(1)
+    return torch, ref_ae, ref_vq
+
+
+def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4) -> dict:
+    raw = {
+        "image_size": IMG,
+        "autoencoder": {"channels": CH, "num_res_blocks": NRB,
+                        "channel_multipliers": list(MULT)},
+        "quantizer": {"num_embeddings": NCODES, "embedding_dim": EDIM,
+                      "type": q_type, "reinit_every_n_epochs": None,
+                      "params": (
+                          {"commitment_cost": 0.25} if q_type == "standard"
+                          else {"commitment_cost": 0.25, "decay": 0.95,
+                                "epsilon": 1e-5})},
+        "training": {"cumulative_bs": 8, "base_lr": LR, "betas": list(BETAS),
+                     "eps": EPS, "weight_decay": WD,
+                     "decay_epochs": DECAY_EPOCHS, "max_epochs": 300},
+    }
+    if gan:
+        raw["loss"] = {
+            "l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": 0.0,
+            "adversarial_params": {"start_epoch": 0,
+                                   "loss_type": "non-saturating",
+                                   "g_weight": 0.1, "use_adaptive": False,
+                                   "r1_reg_weight": 10.0,
+                                   "r1_reg_every": r1_every}}
+    return raw
+
+
+def _build_torch_ae(torch, ref_ae, ref_vq, q_type: str, seed: int = 0):
+    torch.manual_seed(seed)
+    if q_type == "standard":
+        quant = ref_vq.VectorQuantizer(NCODES, EDIM, 0.25)
+    else:
+        quant = ref_vq.EMAVectorQuantizer(NCODES, EDIM, 0.25, 0.95, 1e-5)
+    quant.init_codebook()
+    enc = ref_ae.Encoder(CH, NRB, MULT, EDIM)
+    dec = ref_ae.Decoder(CH, NRB, MULT, EDIM)
+    return enc, dec, quant
+
+
+def _intended_ae_optimizer(torch, ref_ae, modules):
+    """The reference's decay/no-decay INTENT (model.py:372-410: Conv2d
+    weights decay; biases, Embedding and GroupNorm weights don't) with
+    collision-free parameter identity (see module docstring)."""
+    decay, no_decay = [], []
+    for mod in modules:
+        for _, m in mod.named_modules():
+            for pn, p in m.named_parameters(recurse=False):
+                if pn.endswith("bias"):
+                    no_decay.append(p)
+                elif isinstance(m, torch.nn.Conv2d):
+                    decay.append(p)
+                else:  # Embedding / GroupNorm weights
+                    no_decay.append(p)
+    groups = [{"params": decay, "weight_decay": WD},
+              {"params": no_decay, "weight_decay": 0.0}]
+    return torch.optim.AdamW(groups, lr=LR, betas=BETAS, eps=EPS,
+                             weight_decay=WD)
+
+
+def _jax_state_from_torch(trainer, enc_t, dec_t, quant_t, q_type,
+                          disc_t=None):
+    """init_state() then overwrite params/vq_state with the torch weights and
+    re-init both optimizer states over the copied trees."""
+    sd = {f"encoder.{k}": v.detach().numpy()
+          for k, v in enc_t.state_dict().items()}
+    sd.update({f"decoder.{k}": v.detach().numpy()
+               for k, v in dec_t.state_dict().items()})
+    sd.update({f"quantizer.{k}": v.detach().numpy()
+               for k, v in quant_t.state_dict().items()})
+
+    state = trainer.init_state()
+    params = dict(state.params)
+    params["encoder"] = convert_encoder(sd, NRB, len(MULT))
+    params["decoder"] = convert_decoder(sd, NRB, len(MULT))
+    q_params, vq_state = convert_quantizer(sd, q_type)
+    if q_params:
+        params["quantizer"] = q_params
+    params = jax.tree.map(jnp.asarray, params)
+    replace = dict(params=params, opt_state=trainer.tx.init(params))
+    if vq_state is not None:
+        replace["vq_state"] = jax.tree.map(jnp.asarray,
+                                           {"quantizer": vq_state})
+    if disc_t is not None:
+        dsd = {k: v.detach().numpy() for k, v in disc_t.state_dict().items()}
+        d_params = jax.tree.map(
+            jnp.asarray,
+            convert_discriminator_state_dict(dsd, IMG,
+                                             channel_base=D_CHANNEL_BASE))
+        replace["disc_params"] = d_params
+        replace["disc_opt_state"] = trainer.disc_tx.init(d_params)
+    return state.replace(**replace)
+
+
+def _set_lr(opts, lr: float):
+    """on_train_batch_start semantics (model.py:202-216): one LR for every
+    param group of every optimizer, set BEFORE the step."""
+    for opt in opts:
+        for g in opt.param_groups:
+            g["lr"] = lr
+
+
+def _run_jax(trainer, state, batches):
+    traj = []
+    for b in batches:
+        state, metrics = trainer.train_step(state, {"image": jnp.asarray(b)},
+                                            epoch=0)
+        traj.append({k: float(v) for k, v in jax.device_get(metrics).items()})
+    return traj, state
+
+
+# ---------------------------------------------------------------------------
+def _mse_trajectory(torch, ref_ae, ref_vq, q_type, batches, lr_fn):
+    enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, q_type)
+    for m in (enc, dec, quant):
+        m.train()
+    opt = _intended_ae_optimizer(torch, ref_ae, [enc, dec, quant])
+    mse = torch.nn.MSELoss()
+    traj = []
+    for i, b in enumerate(batches):
+        _set_lr([opt], lr_fn(i))
+        x = torch.from_numpy(b).permute(0, 3, 1, 2) * 2.0 - 1.0
+        z = enc(x)
+        quantized, _, q_loss = quant(z)
+        recon = dec(quantized)
+        l2 = mse(recon, x)
+        loss = q_loss + l2  # reference model.py:266-275 (MSE branch, fixed return)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        traj.append({"loss": float(loss), "l2_loss": float(l2),
+                     "quant_loss": float(q_loss)})
+    return traj, (enc, dec, quant)
+
+
+@pytest.mark.parametrize("q_type", ["standard", "ema"])
+def test_mse_trajectory_parity(torch_ref, q_type):
+    torch, ref_ae, ref_vq = torch_ref
+    n_steps, batch = 24, 8
+    rs = np.random.RandomState(42)
+    batches = rs.rand(n_steps, batch, IMG, IMG, 3).astype(np.float32)
+
+    cfg = parse_config(_raw_cfg(q_type, gan=False))
+    trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
+                      steps_per_epoch=n_steps, mesh=None,
+                      compute_dtype=jnp.float32, remat=False, augment=False)
+    try:
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, q_type)
+        state = _jax_state_from_torch(trainer, enc, dec, quant, q_type)
+        traj_j, state = _run_jax(trainer, state, batches)
+
+        lr_fn = lambda i: float(trainer.native_lr.step(i))
+        traj_t, _ = _mse_trajectory(torch, ref_ae, ref_vq, q_type, batches,
+                                    lr_fn)
+    finally:
+        trainer.native_lr.destroy()
+
+    for key in ("loss", "l2_loss", "quant_loss"):
+        j = np.array([m[key] for m in traj_j])
+        t = np.array([m[key] for m in traj_t])
+        np.testing.assert_allclose(
+            j, t, rtol=5e-3, atol=1e-5,
+            err_msg=f"{q_type} '{key}' trajectories diverged:\n"
+                    f"jax   = {j}\ntorch = {t}")
+    # the trajectory must actually move (a frozen model would trivially agree)
+    losses = np.array([m["loss"] for m in traj_j])
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+# ---------------------------------------------------------------------------
+def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
+                    r1_every):
+    """Hand-rolled reference GAN loop: training_step's manual two-optimizer
+    protocol (model.py:232-264) + forward_autoencoder/forward_discriminator
+    composition (loss.py:114-164) with perc_weight=0, use_adaptive=False.
+
+    generator/discriminator losses are transcribed from reference
+    loss.py:11-51 (non-saturating branch) rather than imported: importing
+    vqvae.modules.loss.loss pulls the LPIPS subsystem, whose torchvision
+    dependency is absent in this offline environment."""
+    from vqvae.modules.loss.stylegan2_discriminator.discriminator import (
+        Discriminator as RefDiscriminator)
+    F = torch.nn.functional
+
+    def generator_loss(logits, loss_type="non-saturating"):
+        assert loss_type == "non-saturating"
+        return F.binary_cross_entropy_with_logits(
+            logits, target=torch.ones_like(logits))
+
+    def discriminator_loss(logits_real, logits_fake,
+                           loss_type="non-saturating"):
+        assert loss_type == "non-saturating"
+        real = F.binary_cross_entropy_with_logits(
+            logits_real, target=torch.ones_like(logits_real),
+            reduction="none")
+        fake = F.binary_cross_entropy_with_logits(
+            logits_fake, target=torch.zeros_like(logits_fake),
+            reduction="none")
+        return torch.mean(real + fake)
+
+    enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+    torch.manual_seed(1)  # same seed as the copy the jax side imported
+    disc = RefDiscriminator(IMG, channel_base=D_CHANNEL_BASE)
+    for m in (enc, dec, quant, disc):
+        m.train()
+    ae_opt = _intended_ae_optimizer(torch, ref_ae, [enc, dec, quant])
+    # uniform decay on every D param (model.py:431-434)
+    disc_opt = torch.optim.AdamW(disc.parameters(), lr=LR, betas=BETAS,
+                                 eps=EPS, weight_decay=WD)
+    l1w, l2w, g_weight, r1_cost = 0.8, 0.2, 0.1, 10.0
+
+    traj = []
+    for i, b in enumerate(batches):
+        _set_lr([ae_opt, disc_opt], lr_fn(i))
+        x = torch.from_numpy(b).permute(0, 3, 1, 2) * 2.0 - 1.0
+        z = enc(x)
+        quantized, _, q_loss = quant(z)
+        recon = dec(quantized)
+
+        # ---- AE phase (forward_autoencoder, loss.py:114-141) -------------
+        ae_opt.zero_grad()
+        l1 = (x - recon).abs().mean()
+        l2 = (x - recon).pow(2).mean()
+        nll = l1 * l1w + l2 * l2w  # p_loss term weighted 0
+        logits_fake = disc(recon)
+        g_loss = generator_loss(logits_fake, loss_type="non-saturating")
+        ae_loss = nll + g_loss * g_weight + q_loss
+        ae_loss.backward()
+        ae_opt.step()
+
+        # ---- D phase (forward_discriminator, loss.py:143-164) ------------
+        compute_r1 = i % r1_every == 0
+        xr = x.detach().clone().requires_grad_(compute_r1)
+        logits_real = disc(xr)
+        logits_fake2 = disc(recon.detach())
+        d_loss = discriminator_loss(logits_real, logits_fake2,
+                                    loss_type="non-saturating")
+        if compute_r1:
+            # no_weight_gradients is a no-op fallback on torch>=1.10
+            # (conv2d_gradfix.py:47-56): full 2nd-order gradients flow
+            grads = torch.autograd.grad(logits_real.sum(), xr,
+                                        create_graph=True)[0]
+            r1 = r1_cost * grads.pow(2).reshape(grads.shape[0], -1).sum(1).mean()
+            loss_d = d_loss + r1
+        else:
+            r1 = torch.zeros(())
+            loss_d = d_loss
+        disc_opt.zero_grad()
+        loss_d.backward()
+        disc_opt.step()
+
+        traj.append({"loss": float(ae_loss), "l1_loss": float(l1),
+                     "l2_loss": float(l2), "quant_loss": float(q_loss),
+                     "gen_loss": float(g_loss), "disc_loss": float(d_loss),
+                     "r1_penalty": float(r1)})
+    return traj, disc
+
+
+def test_gan_trajectory_parity(torch_ref, reference_path):
+    torch, ref_ae, ref_vq = torch_ref
+    n_steps, batch, r1_every = 12, 4, 4
+    rs = np.random.RandomState(7)
+    batches = rs.rand(n_steps, batch, IMG, IMG, 3).astype(np.float32)
+
+    cfg = parse_config(_raw_cfg("standard", gan=True, r1_every=r1_every))
+    trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
+                      steps_per_epoch=n_steps, mesh=None,
+                      compute_dtype=jnp.float32, remat=False, augment=False,
+                      disc_kwargs={"channel_base": D_CHANNEL_BASE})
+    try:
+        # build torch modules FIRST so both sides share their initial weights
+        from vqvae.modules.loss.stylegan2_discriminator.discriminator import (
+            Discriminator as RefDiscriminator)
+        torch.manual_seed(0)
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+        torch.manual_seed(1)
+        disc_t = RefDiscriminator(IMG, channel_base=D_CHANNEL_BASE)
+
+        state = _jax_state_from_torch(trainer, enc, dec, quant, "standard",
+                                      disc_t=disc_t)
+        traj_j, _ = _run_jax(trainer, state, batches)
+
+        lr_fn = lambda i: float(trainer.native_lr.step(i))
+        # fresh modules with the SAME seeds so the torch loop starts identical
+        torch.manual_seed(0)
+        traj_t, _ = _gan_trajectory(torch, ref_ae, ref_vq, reference_path,
+                                    batches, lr_fn, r1_every)
+    finally:
+        trainer.native_lr.destroy()
+
+    for key in ("loss", "l1_loss", "l2_loss", "quant_loss", "gen_loss",
+                "disc_loss", "r1_penalty"):
+        j = np.array([m[key] for m in traj_j])
+        t = np.array([m[key] for m in traj_t])
+        # two-tier tolerance: fp32 op-order differences amplify chaotically
+        # through the argmin assignment as weights drift apart, so early
+        # steps (where any optimizer/schedule/composition bug would already
+        # show) are held tight and the full window loose
+        np.testing.assert_allclose(
+            j[:6], t[:6], rtol=5e-3, atol=1e-4,
+            err_msg=f"GAN '{key}' diverged in the first 6 steps:\n"
+                    f"jax   = {j}\ntorch = {t}")
+        np.testing.assert_allclose(
+            j, t, rtol=8e-2, atol=2e-4,
+            err_msg=f"GAN '{key}' trajectories diverged:\n"
+                    f"jax   = {j}\ntorch = {t}")
+    # R1 fires exactly on the cadence, both sides
+    r1_j = np.array([m["r1_penalty"] for m in traj_j])
+    assert (r1_j[::r1_every] > 0).all()
+    mask = np.ones(n_steps, bool)
+    mask[::r1_every] = False
+    assert (r1_j[mask] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+def test_reference_optimizer_drops_encoder(torch_ref):
+    """Executable citation for the documented divergence: the reference's
+    split_decay_groups (model.py:372-410) keys its param dict by RELATIVE
+    names, so encoder params whose names collide with decoder params never
+    reach the AE optimizer — most of the encoder is silently frozen in the
+    published code. This framework deliberately trains all params."""
+    torch, ref_ae, ref_vq = torch_ref
+    enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+
+    # the reference's literal split semantics (model.py:383-410)
+    named_modules = (list(enc.named_modules()) + list(dec.named_modules())
+                     + list(quant.named_modules()))
+    named_parameters = (list(enc.named_parameters())
+                        + list(dec.named_parameters())
+                        + list(quant.named_parameters()))
+    decay, no_decay = set(), set()
+    for mn, m in named_modules:
+        for pn, _ in m.named_parameters():
+            fpn = "%s.%s" % (mn, pn) if mn else pn
+            if pn.endswith("bias"):
+                no_decay.add(fpn)
+            elif pn.endswith("weight") and isinstance(m, torch.nn.Conv2d):
+                decay.add(fpn)
+            elif pn.endswith("weight") and isinstance(
+                    m, (torch.nn.Embedding, ref_ae.GroupNorm)):
+                no_decay.add(fpn)
+    param_dict = {pn: p for pn, p in named_parameters}
+    # the reference's own completeness asserts PASS (collisions hide the gap)
+    assert not (decay & no_decay)
+    assert not (param_dict.keys() - (decay | no_decay))
+
+    in_opt = {id(param_dict[pn]) for pn in decay | no_decay}
+    dropped = [n for n, p in enc.named_parameters() if id(p) not in in_opt]
+    # conv_in / conv_out / norm / every blocks.* ResBlock collide and drop
+    assert "conv_in.weight" in dropped
+    assert any(n.startswith("blocks.") for n in dropped)
+    assert len(dropped) >= len(list(enc.named_parameters())) // 2
+    # decoder + quantizer params all survive (their names win the collision)
+    for n, p in list(dec.named_parameters()) + list(quant.named_parameters()):
+        assert id(p) in in_opt, n

@@ -176,7 +176,8 @@ def _replace_last_kernel(params, kernel):
 
 def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
                 disc=None, disc_tx=None, lpips_apply=None,
-                lr_sched=None, temp_sched=None, kl_sched=None) -> StepBundle:
+                lr_sched=None, temp_sched=None, kl_sched=None,
+                augment: bool = True) -> StepBundle:
     """Create the compiled train/eval steps for a config.
 
     Args:
@@ -189,6 +190,10 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
       lpips_apply: ``lpips_apply(x, y) -> scalar`` with frozen params closed
         over (LPIPS weights live in no optimizer, reference model.py:419-427).
       lr_sched/temp_sched/kl_sched: step -> scalar schedules (logging + gumbel).
+      augment: apply the train-time RandomResizedCrop+flip (the reference's
+        always-on behavior, base_autoencoder.py:20-22). False = normalize
+        only — used by the cross-framework trajectory parity tests, which
+        need bit-identical inputs on both sides.
     """
     is_gumbel = cfg.quantizer.type == "gumbel"
     n_codes = cfg.quantizer.num_embeddings
@@ -271,7 +276,7 @@ def build_steps(cfg: Config, model, tx, mesh: Optional[Mesh] = None, *,
     def _micro_grads(params, disc_params, vq_state, step, raw_images, rng,
                      gan_active: bool, compute_r1: bool):
         rng_aug, rng_model = jax.random.split(rng)
-        images = preprocess_batch(raw_images, rng_aug, training=True,
+        images = preprocess_batch(raw_images, rng_aug, training=augment,
                                   image_size=cfg.image_size)
         gan = adv is not None and gan_active
         with_r1 = gan and compute_r1 and adv.r1_reg_weight is not None
