@@ -63,6 +63,11 @@ def main():
           f"({cfg.quantizer.type} quantizer)")
 
     save_eval_checkpoint(args.output, variables)
+    # self-describing import: the matching conf rides inside the snapshot dir
+    # (orbax ignores the extra file) so downstream tooling — e.g.
+    # tools/quality_parity.sh — can evaluate it without guessing the YAML
+    import shutil
+    shutil.copyfile(args.params_file, os.path.join(args.output, "conf.yaml"))
     print(f"[INFO] wrote orbax checkpoint to {args.output} — evaluate with:\n"
           f"  python evaluate.py --params_file {args.params_file} "
           f"--loading_path {args.output} ...")

@@ -47,15 +47,24 @@ class MetricLogger:
             self._wandb.log(record, step=int(step))
 
     def log_images(self, images: np.ndarray, step: int, key: str):
-        """Save a reconstruction grid (originals row / recons row), mirroring
-        log_reconstructions (reference model.py:442-456)."""
+        """Save a reconstruction grid (originals row / recons row) as a
+        viewable PNG, mirroring log_reconstructions (reference
+        model.py:442-456 logs wandb image grids; offline runs get the same
+        artifact as a file, not a raw array dump)."""
         if not self.is_main:
             return
-        path = self.dir / f"{key.replace('/', '_')}_{step}.npy"
-        np.save(path, images)
+        grid = _to_grid(images)
+        path = self.dir / f"{key.replace('/', '_')}_{step}.png"
+        try:
+            from PIL import Image
+            arr = np.clip(np.asarray(grid, np.float32), 0.0, 1.0)
+            Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
+        except Exception as e:  # PIL missing/odd shapes: keep the raw array
+            np.save(path.with_suffix(".npy"), images)
+            print(f"[WARN] PNG panel failed ({e}); wrote .npy instead")
         if self._wandb is not None:
             import wandb
-            self._wandb.log({key: wandb.Image(_to_grid(images))}, step=int(step))
+            self._wandb.log({key: wandb.Image(grid)}, step=int(step))
 
     def finish(self):
         if not self.is_main:
