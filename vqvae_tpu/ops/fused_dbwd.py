@@ -52,7 +52,8 @@ _LANES = 128
 # (Element windows / full-plane dslice, alias on/off, db accumulator
 # on/off, tile 32/8) produce BIT-IDENTICAL wrong grads AND an 18%-wrong
 # forward loss value, and a trivially-correct Pallas COPY kernel spliced
-# onto dy reproduces the divergence (tools/diag_dbwd_min2.py) while
+# onto dy reproduces the divergence (minimal reproducer + bisection log:
+# docs/DIAG_DBWD_r4.txt) while
 # interpret mode (no custom-call) is exact. The kernels themselves are
 # oracle-exact at every block shape standalone. Until the stack is fixed,
 # 'auto' never lowers the compiled kernels; the custom_vjp backward runs
