@@ -76,10 +76,15 @@ def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4) -> dict:
                         "channel_multipliers": list(MULT)},
         "quantizer": {"num_embeddings": NCODES, "embedding_dim": EDIM,
                       "type": q_type, "reinit_every_n_epochs": None,
-                      "params": (
-                          {"commitment_cost": 0.25} if q_type == "standard"
-                          else {"commitment_cost": 0.25, "decay": 0.95,
-                                "epsilon": 1e-5})},
+                      "params": {
+                          "standard": {"commitment_cost": 0.25},
+                          "ema": {"commitment_cost": 0.25, "decay": 0.95,
+                                  "epsilon": 1e-5},
+                          "entropy": {"ent_loss_ratio": 0.1,
+                                      "ent_temperature": 0.01,
+                                      "ent_loss_type": "softmax",
+                                      "commitment_cost": 0.25},
+                      }[q_type]},
         "training": {"cumulative_bs": 8, "base_lr": LR, "betas": list(BETAS),
                      "eps": EPS, "weight_decay": WD,
                      "decay_epochs": DECAY_EPOCHS, "max_epochs": 300},
@@ -99,8 +104,11 @@ def _build_torch_ae(torch, ref_ae, ref_vq, q_type: str, seed: int = 0):
     torch.manual_seed(seed)
     if q_type == "standard":
         quant = ref_vq.VectorQuantizer(NCODES, EDIM, 0.25)
-    else:
+    elif q_type == "ema":
         quant = ref_vq.EMAVectorQuantizer(NCODES, EDIM, 0.25, 0.95, 1e-5)
+    else:
+        quant = ref_vq.EntropyVectorQuantizer(NCODES, EDIM, 0.1, 0.01,
+                                              "softmax", 0.25)
     quant.init_codebook()
     enc = ref_ae.Encoder(CH, NRB, MULT, EDIM)
     dec = ref_ae.Decoder(CH, NRB, MULT, EDIM)
@@ -202,7 +210,7 @@ def _mse_trajectory(torch, ref_ae, ref_vq, q_type, batches, lr_fn):
     return traj, (enc, dec, quant)
 
 
-@pytest.mark.parametrize("q_type", ["standard", "ema"])
+@pytest.mark.parametrize("q_type", ["standard", "ema", "entropy"])
 def test_mse_trajectory_parity(torch_ref, q_type):
     torch, ref_ae, ref_vq = torch_ref
     n_steps, batch = 24, 8

@@ -60,6 +60,19 @@ _LANES = 128
 # the XLA oracle (identical math to plain autodiff). Interpret mode (tests)
 # is unaffected. VQVAE_TPU_DBWD_UNSAFE=1 restores the compiled kernels for
 # diagnosis.
+#
+# UN-QUARANTINE-OR-DELETE CRITERION (re-checked every round by running
+# `python tools/validate_tpu.py` on the real chip — its composed-program
+# probes exercise exactly this splice position):
+#   - if the composed probes PASS on an updated axon/libtpu stack: re-A/B
+#     the fused-D legs once (tools/chipq.sh dbwd:VQVAE_TPU_FUSED_DBWD=1
+#     dbwdskip:VQVAE_TPU_FUSED_DBWD=1,VQVAE_TPU_FUSED_SKIP=1). Keep and
+#     default-on only if >= +1% vs base (round-4 XLA reading was
+#     -9.6%/-21%, so a pass alone does NOT justify keeping it); otherwise
+#     DELETE this module and its tests (the reproducer value lives in
+#     docs/DIAG_DBWD_r4.txt, not in the code).
+#   - if the probes still fail: the quarantine stands; record the dated log
+#     (docs/VALIDATE_r{N}.md).
 _UNSAFE_ENV = "VQVAE_TPU_DBWD_UNSAFE"
 _warned_quarantine = False
 
