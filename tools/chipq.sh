@@ -67,8 +67,13 @@ leg_env() { # leg-spec -> env assignments on stdout, one per line
 
 run_bench() { # mode(pre|leg) name env...
   local mode="$1" name="$2"; shift 2
-  local extra=(VQGAN_BENCH_SECONDARY=0 VQGAN_BENCH_WAIT_S=2400)
+  local extra=(VQGAN_BENCH_SECONDARY=0 VQGAN_BENCH_WAIT_S="${CHIPQ_WAIT_S:-2400}")
   [ "$mode" = pre ] && extra+=(XLA_PYTHON_CLIENT_PREALLOCATE=false VQGAN_BENCH_PRECOMPILE=1)
+  if [ "${CHIPQ_ECHO:-0}" = "1" ]; then  # parse smoke-test: print, don't run
+    echo "RUN $mode $name :: ${extra[*]} $*" | tee -a "$LOGDIR/${mode}_$name.log"
+    echo '{"smoke": true}' >> "$LOGDIR/${mode}_$name.log"
+    return 0
+  fi
   env "${extra[@]}" "$@" timeout 4200 python bench.py \
       > "$LOGDIR/${mode}_$name.log" 2>&1
 }
