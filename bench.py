@@ -351,7 +351,8 @@ def _bench_flagship(raw, image_size, batch, accum, on_tpu, jnp):
     dt = sorted(times)[1]
 
     ips = batch * n_steps / dt
-    baseline = float(os.environ.get("VQGAN_A100_BASELINE_IPS", 80.6))
+    override = os.environ.get("VQGAN_A100_BASELINE_IPS")
+    baseline = float(override) if override else 80.6
 
     result = {
         "metric": METRIC,
@@ -362,8 +363,13 @@ def _bench_flagship(raw, image_size, batch, accum, on_tpu, jnp):
         # one free parameter is the assumed reference A100 MFU. The anchor is
         # FROZEN as of round 5 (only a measured A100 number via
         # $VQGAN_A100_BASELINE_IPS may replace it); the full sensitivity row
-        # rides in every line so no denominator change can hide in one ratio
-        "anchor": {"ips": baseline, "assumed_a100_mfu": 0.40,
+        # rides in every line so no denominator change can hide in one ratio.
+        # With an override the anchor is labeled as measured — the MFU field
+        # describes only the proxy denominator, never a supplied measurement.
+        "anchor": {"ips": baseline,
+                   **({"source": "VQGAN_A100_BASELINE_IPS override "
+                                 "(measured reference)"} if override else
+                      {"source": "40pct-mfu-proxy", "assumed_a100_mfu": 0.40}),
                    "vs_35pct_mfu_anchor": round(ips / 70.4, 3),
                    "vs_45pct_mfu_anchor": round(ips / 90.0, 3)},
         # internal: tells the orchestrator whether secondary legs apply

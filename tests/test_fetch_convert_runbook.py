@@ -33,7 +33,7 @@ _LIN_CHANNELS = {
 
 
 @pytest.fixture(scope="module")
-def fixture_dir(tmp_path_factory):
+def fixture_dir(tmp_path_factory, reference_path):
     torch = pytest.importorskip("torch")
     torch.manual_seed(0)
     fixdir = tmp_path_factory.mktemp("runbook_fixtures")
@@ -54,7 +54,7 @@ def fixture_dir(tmp_path_factory):
 
     # Lightning-style checkpoint + matching conf: activates the import leg
     # of fetch_and_convert_all.sh and the eval leg of quality_parity.sh
-    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, reference_path)
     from vqvae.modules import autoencoder as ref_ae  # noqa
     from vqvae.modules import vector_quantizers as ref_vq  # noqa
     torch.manual_seed(5)

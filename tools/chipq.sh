@@ -55,6 +55,20 @@ if [ "${VALIDATE:-0}" = "1" ]; then
   echo "validate_tpu: rc=$VRC $(date +%T)" >> "$RESULTS"
   if [ $VRC -ne 0 ]; then
     echo "(rc=$VRC — see $LOGDIR/validate.err; default-flipping legs gated off)" >> "$VALIDATE_MD"
+    # ENFORCE the gate: drop every leg that overrides env defaults (anything
+    # with a ':' spec); bare-default legs (e.g. 'base') may still measure
+    GATED=()
+    for spec in "${LEGS[@]}"; do
+      case "$spec" in
+        *:*) echo "GATED (validate rc=$VRC): $spec" >> "$RESULTS" ;;
+        *)   GATED+=("$spec") ;;
+      esac
+    done
+    LEGS=(${GATED[@]+"${GATED[@]}"})
+    if [ ${#LEGS[@]} -eq 0 ]; then
+      echo "=== chipq aborted: validation failed and every leg flips a default" >> "$RESULTS"
+      exit 1
+    fi
   fi
 fi
 

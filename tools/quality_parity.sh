@@ -7,8 +7,9 @@
 # published table (readme.md:148-156) within the tolerances stated in
 # tools/check_quality_parity.py.
 #
-#   tools/quality_parity.sh --dataset /path/to/imagenet   # (val/ + test/ subfolders
-#                                                         #  per data/dataset.py layout)
+#   tools/quality_parity.sh --dataset /path/to/imagenet   # (validation/ + test/
+#                                                         #  subfolders, the
+#                                                         #  data/dataset.py layout)
 #       [--cache DIR]      artifact cache (default ~/.cache/vqvae_tpu)
 #       [--runs LIST]      comma list matched against imported run names
 #                          (default gumbel,entropy — the two released repros)
@@ -47,6 +48,14 @@ PY="${PYTHON:-python3}"; command -v "$PY" >/dev/null || PY=python
 OUTDIR="$CACHE/quality_parity"
 mkdir -p "$OUTDIR"
 
+# fail fast BEFORE the expensive fetch/convert/download stage
+if [[ -z "$FIXDIR" ]]; then
+  [[ -n "$DATASET" ]] || { echo "ERROR: --dataset is required" >&2; exit 2; }
+  [[ -d "$DATASET/validation" && -d "$DATASET/test" ]] || {
+    echo "ERROR: $DATASET must contain validation/ and test/ subfolders" \
+         "(data/dataset.py layout)" >&2; exit 2; }
+fi
+
 echo "== [1/3] artifacts (LPIPS + inception + HF checkpoints) -> $CACHE"
 if [[ -n "$FIXDIR" ]]; then
   bash "$REPO/tools/fetch_and_convert_all.sh" --cache "$CACHE" --dry-run "$FIXDIR"
@@ -75,7 +84,6 @@ for split, n in [("validation", 8), ("test", 8)]:
         Image.fromarray(rs.randint(0, 255, (16, 16, 3), np.uint8)).save(d / f"i{i}.png")
 EOF
 fi
-[[ -n "$DATASET" ]] || { echo "ERROR: --dataset is required" >&2; exit 2; }
 
 echo "== [2/3] evaluate imported checkpoints from $CACHE/imported"
 shopt -s nullglob

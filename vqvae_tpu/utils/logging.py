@@ -53,10 +53,11 @@ class MetricLogger:
         artifact as a file, not a raw array dump)."""
         if not self.is_main:
             return
-        grid = _to_grid(images)
+        grid = None
         path = self.dir / f"{key.replace('/', '_')}_{step}.png"
         try:
             from PIL import Image
+            grid = _to_grid(images)
             arr = np.clip(np.asarray(grid, np.float32), 0.0, 1.0)
             Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
         except Exception as e:  # PIL missing/odd shapes: keep the raw array
@@ -64,7 +65,9 @@ class MetricLogger:
             print(f"[WARN] PNG panel failed ({e}); wrote .npy instead")
         if self._wandb is not None:
             import wandb
-            self._wandb.log({key: wandb.Image(grid)}, step=int(step))
+            self._wandb.log(
+                {key: wandb.Image(grid if grid is not None else images)},
+                step=int(step))
 
     def finish(self):
         if not self.is_main:
