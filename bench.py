@@ -52,13 +52,26 @@ METRIC = ("train images/sec/chip, 256^2 gumbel VQGAN "
 SECONDARY_LEGS = ("ema_vqvae", "standard_vqvae", "entropy_vqvae",
                   "gan_b32_plain")
 
+# every successful ON-CHIP flagship leg snapshots its record here; the
+# unavailable path embeds it (labeled, never substituted into "value") so a
+# tunnel outage at driver time still leaves evidence of the real measured
+# number alongside the honest 0.0
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "docs", "BENCH_LASTGOOD.json")
+
 
 def _emit_unavailable(reason: str) -> None:
     """One parseable JSON line instead of a traceback when the accelerator
     is unreachable (round-2 BENCH crashed rc=1 on a dead axon tunnel)."""
-    print(json.dumps({"metric": METRIC, "value": 0.0,
-                      "unit": "images/sec/chip", "vs_baseline": 0.0,
-                      "unavailable": reason}))
+    line = {"metric": METRIC, "value": 0.0,
+            "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "unavailable": reason}
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            line["last_good"] = json.load(f)
+    except Exception:
+        pass
+    print(json.dumps(line))
 
 
 def _wait_for_backend(max_wait_s: float) -> bool:
@@ -376,6 +389,18 @@ def _bench_flagship(raw, image_size, batch, accum, on_tpu, jnp):
         # (stripped before the final line is printed)
         "_on_tpu": on_tpu,
     }
+
+    if on_tpu:
+        snap = {k: v for k, v in result.items() if not k.startswith("_")}
+        snap["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump(snap, f, indent=1)
+                f.write("\n")
+        except Exception as exc:  # never let bookkeeping break the record
+            print(f"[bench] last-good snapshot failed: {exc}",
+                  file=sys.stderr)
 
     print(json.dumps(result))
 

@@ -115,6 +115,30 @@ def test_bench_unavailable_emits_json(monkeypatch, capsys):
     assert result["unit"] == "images/sec/chip"
 
 
+def test_bench_unavailable_embeds_last_good(monkeypatch, capsys, tmp_path):
+    """A tunnel outage at driver time embeds the repo-resident last-good
+    flagship record (labeled evidence) WITHOUT substituting it into 'value'
+    — the honest 0.0 stays the measurement of record."""
+    bench = _load_bench()
+    snap = {"metric": bench.METRIC, "value": 88.61,
+            "unit": "images/sec/chip", "vs_baseline": 1.099,
+            "measured_at": "2026-08-20T05:00:00Z"}
+    p = tmp_path / "lastgood.json"
+    p.write_text(json.dumps(snap))
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(p))
+    bench._emit_unavailable("tunnel outage")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
+    assert out["last_good"]["value"] == 88.61
+    assert out["last_good"]["measured_at"] == "2026-08-20T05:00:00Z"
+
+    # no snapshot file -> no last_good key (and no crash)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(tmp_path / "missing"))
+    bench._emit_unavailable("tunnel outage")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "last_good" not in out and out["value"] == 0.0
+
+
 def test_bench_orchestrator_merges_legs(monkeypatch, capsys):
     """The driver-facing orchestrator strips the internal _on_tpu marker,
     merges per-leg subprocess JSON into one line, and keeps a failed
