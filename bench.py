@@ -89,8 +89,12 @@ def _wait_for_backend(max_wait_s: float) -> bool:
     is cheap and longer budgets are granted only after a hang — evidence of
     a live-but-slow tunnel worth waiting for.
     """
-    probe =("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
-             "print(float((x @ x).sum()))")
+    # the probe honors the same CPU-forcing knob as the legs, so a
+    # VQVAE_TPU_PLATFORM=cpu bench run never touches the tunnel at all
+    probe = ("import os, jax, jax.numpy as jnp; "
+             "p = os.environ.get('VQVAE_TPU_PLATFORM'); "
+             "p and jax.config.update('jax_platforms', p); "
+             "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
@@ -178,9 +182,15 @@ def main():
                 secondary[name] = (f"skipped: {remaining:.0f}s left of "
                                    f"{deadline_s:.0f}s budget")
                 continue
-            # a secondary-path failure must never lose the flagship number
-            leg = _run_leg_subprocess(name, timeout_s=min(remaining, float(
-                os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S", 3600))))
+            # a secondary-path failure must never lose the flagship number;
+            # and a tunnel black-hole MID-LEG must not stretch the process
+            # toward the driver's kill window (observed 2026-08-20:
+            # gan_b32_plain hung for its entire 1447s remaining budget, so
+            # the process ran right up to the deadline) — cap each secondary
+            # leg at 2x its estimate unless explicitly overridden
+            leg_cap = float(os.environ.get("VQGAN_BENCH_LEG_TIMEOUT_S",
+                                           2.0 * est_leg_s))
+            leg = _run_leg_subprocess(name, timeout_s=min(remaining, leg_cap))
             secondary[name] = leg.get("error", leg.get("value"))
         if "gan_b32_plain" in secondary and isinstance(
                 secondary["gan_b32_plain"], (int, float)):
@@ -226,6 +236,13 @@ def _run_leg(name: str) -> None:
     backend directly — the orchestrator has already probed tunnel health."""
     import jax
     import jax.numpy as jnp
+
+    # same CPU-forcing knob the CLIs honor (CLAUDE.md: the JAX_PLATFORMS env
+    # var is ignored under axon) — lets an offline box drive the bench
+    # end-to-end on the tiny CPU-fallback config without touching the tunnel
+    plat = os.environ.get("VQVAE_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     # persistent compile cache: 256^2 GAN-step compiles are expensive
     try:

@@ -292,3 +292,35 @@ def test_bench_probe_budget_escalates(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench._wait_for_backend(max_wait_s=100000) is True
     assert budgets == [60.0, 120.0, 240.0, 240.0]
+
+
+def test_bench_secondary_leg_hang_capped(monkeypatch, capsys):
+    """A tunnel black-hole mid-secondary-leg must not stretch the process
+    toward the driver's kill window: each secondary leg's subprocess timeout
+    is capped at 2x the leg estimate (observed 2026-08-20: gan_b32_plain
+    hung for its entire 1447s remaining budget)."""
+    bench = _load_bench()
+    timeouts = {}
+
+    def fake_leg(name, timeout_s):
+        timeouts[name] = timeout_s
+        if name == "flagship":
+            return {"metric": bench.METRIC, "value": 88.6,
+                    "unit": "images/sec/chip", "vs_baseline": 1.099,
+                    "_on_tpu": True}
+        return {"leg": name, "value": 200.0}
+
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench, "_run_leg_subprocess", fake_leg)
+    monkeypatch.setenv("VQGAN_BENCH_SECONDARY", "1")
+    monkeypatch.setenv("VQGAN_BENCH_LEG_EST_S", "480")
+    monkeypatch.delenv("VQGAN_BENCH_LEG_TIMEOUT_S", raising=False)
+    monkeypatch.delenv("VQGAN_BENCH_ACCUM", raising=False)
+    monkeypatch.delenv("VQGAN_BENCH_DEADLINE_S", raising=False)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["secondary"]) == set(bench.SECONDARY_LEGS)
+    for name in bench.SECONDARY_LEGS:
+        assert timeouts[name] <= 2 * 480.0, (name, timeouts[name])
+    # the flagship leg keeps its own (much larger) budget floor
+    assert timeouts["flagship"] >= 1200.0
