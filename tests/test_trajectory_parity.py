@@ -69,6 +69,9 @@ def torch_ref(reference_path):
     return torch, ref_ae, ref_vq
 
 
+GUMBEL_KL = 0.00859375  # flagship kl_cost (example_confs/gumbel_vqgan.yaml)
+
+
 def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4) -> dict:
     raw = {
         "image_size": IMG,
@@ -84,6 +87,14 @@ def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4) -> dict:
                                       "ent_temperature": 0.01,
                                       "ent_loss_type": "softmax",
                                       "commitment_cost": 0.25},
+                          # both gumbel schedules MOVE inside a 24-step
+                          # window (steps_per_epoch == n_steps): kl warms up
+                          # over half an epoch, temp decays over one
+                          "gumbel": {"straight_through": False, "temp": 1.0,
+                                     "kl_cost": GUMBEL_KL,
+                                     "kl_warmup_epochs": 0.5,
+                                     "temp_decay_epochs": 1,
+                                     "temp_final": 0.0625},
                       }[q_type]},
         "training": {"cumulative_bs": 8, "base_lr": LR, "betas": list(BETAS),
                      "eps": EPS, "weight_decay": WD,
@@ -106,11 +117,18 @@ def _build_torch_ae(torch, ref_ae, ref_vq, q_type: str, seed: int = 0):
         quant = ref_vq.VectorQuantizer(NCODES, EDIM, 0.25)
     elif q_type == "ema":
         quant = ref_vq.EMAVectorQuantizer(NCODES, EDIM, 0.25, 0.95, 1e-5)
+    elif q_type == "gumbel":
+        quant = ref_vq.GumbelVectorQuantizer(NCODES, EDIM,
+                                             straight_through=False,
+                                             temp=1.0, kl_cost=GUMBEL_KL)
     else:
         quant = ref_vq.EntropyVectorQuantizer(NCODES, EDIM, 0.1, 0.01,
                                               "softmax", 0.25)
     quant.init_codebook()
-    enc = ref_ae.Encoder(CH, NRB, MULT, EDIM)
+    # gumbel: the encoder emits num_embeddings logits channels, not the
+    # embedding dim (reference model.py:130-132)
+    enc = ref_ae.Encoder(CH, NRB, MULT,
+                         NCODES if q_type == "gumbel" else EDIM)
     dec = ref_ae.Decoder(CH, NRB, MULT, EDIM)
     return enc, dec, quant
 
@@ -187,7 +205,8 @@ def _run_jax(trainer, state, batches):
 
 
 # ---------------------------------------------------------------------------
-def _mse_trajectory(torch, ref_ae, ref_vq, q_type, batches, lr_fn):
+def _mse_trajectory(torch, ref_ae, ref_vq, q_type, batches, lr_fn,
+                    consts_fn=None):
     enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, q_type)
     for m in (enc, dec, quant):
         m.train()
@@ -196,6 +215,8 @@ def _mse_trajectory(torch, ref_ae, ref_vq, q_type, batches, lr_fn):
     traj = []
     for i, b in enumerate(batches):
         _set_lr([opt], lr_fn(i))
+        if consts_fn is not None:  # gumbel temp/kl per-batch set_consts
+            quant.set_consts(*consts_fn(i))
         x = torch.from_numpy(b).permute(0, 3, 1, 2) * 2.0 - 1.0
         z = enc(x)
         quantized, _, q_loss = quant(z)
@@ -240,6 +261,74 @@ def test_mse_trajectory_parity(torch_ref, q_type):
             err_msg=f"{q_type} '{key}' trajectories diverged:\n"
                     f"jax   = {j}\ntorch = {t}")
     # the trajectory must actually move (a frozen model would trivially agree)
+    losses = np.array([m["loss"] for m in traj_j])
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_mse_trajectory_parity_gumbel(torch_ref, monkeypatch):
+    """Gumbel-family trajectory parity — the flagship quantizer, runnable
+    cross-framework only with the gumbel NOISE zeroed on both sides (torch
+    and JAX draw from unrelated RNG streams; zero noise keeps every other
+    moving part live: the temp-decay and kl-warmup schedules applied
+    per-batch (reference model.py:189-230), the soft (non-straight-through)
+    codebook mixing, the KL(q||uniform) loss (vector_quantizers.py:236-241),
+    and the x_to_logits-conv/codebook optimizer dynamics)."""
+    torch, ref_ae, ref_vq = torch_ref
+    n_steps, batch = 24, 8
+    rs = np.random.RandomState(3)
+    batches = rs.rand(n_steps, batch, IMG, IMG, 3).astype(np.float32)
+
+    # JAX side: zero the gumbel draw (trace-time capture — patch BEFORE the
+    # first train_step compiles)
+    monkeypatch.setattr(
+        jax.random, "gumbel",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    # torch side: F.gumbel_softmax minus the noise, semantics otherwise
+    # identical (torch functional.py: softmax((logits+g)/tau), hard =
+    # one-hot(argmax) + straight-through)
+    def det_gumbel_softmax(logits, tau=1.0, hard=False, eps=1e-10, dim=-1):
+        y_soft = (logits / tau).softmax(dim)
+        if hard:
+            idx = y_soft.argmax(dim, keepdim=True)
+            y_hard = torch.zeros_like(y_soft).scatter_(dim, idx, 1.0)
+            return y_hard - y_soft.detach() + y_soft
+        return y_soft
+
+    monkeypatch.setattr(torch.nn.functional, "gumbel_softmax",
+                        det_gumbel_softmax)
+
+    cfg = parse_config(_raw_cfg("gumbel", gan=False))
+    trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
+                      steps_per_epoch=n_steps, mesh=None,
+                      compute_dtype=jnp.float32, remat=False, augment=False)
+    try:
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "gumbel")
+        state = _jax_state_from_torch(trainer, enc, dec, quant, "gumbel")
+        traj_j, state = _run_jax(trainer, state, batches)
+
+        lr_fn = lambda i: float(trainer.native_lr.step(i))
+        # per-batch set_consts with the SAME schedule functions the jitted
+        # step evaluates (their formulas are pinned separately by
+        # test_schedules) — what this pins is the application semantics
+        consts_fn = lambda i: (float(trainer.temp_sched(i)),
+                               float(trainer.kl_sched(i)))
+        traj_t, _ = _mse_trajectory(torch, ref_ae, ref_vq, "gumbel", batches,
+                                    lr_fn, consts_fn=consts_fn)
+    finally:
+        trainer.native_lr.destroy()
+
+    for key in ("loss", "l2_loss", "quant_loss"):
+        j = np.array([m[key] for m in traj_j])
+        t = np.array([m[key] for m in traj_t])
+        np.testing.assert_allclose(
+            j, t, rtol=5e-3, atol=1e-5,
+            err_msg=f"gumbel '{key}' trajectories diverged:\n"
+                    f"jax   = {j}\ntorch = {t}")
+    # the schedules must have actually moved inside the window
+    assert float(trainer.temp_sched(n_steps - 1)) < 0.5
+    assert float(trainer.kl_sched(0)) < GUMBEL_KL / 4
+    assert float(trainer.kl_sched(n_steps - 1)) > GUMBEL_KL * 0.99
     losses = np.array([m["loss"] for m in traj_j])
     assert losses[-1] < losses[0] * 0.9, losses
 
