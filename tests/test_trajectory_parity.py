@@ -72,7 +72,8 @@ def torch_ref(reference_path):
 GUMBEL_KL = 0.00859375  # flagship kl_cost (example_confs/gumbel_vqgan.yaml)
 
 
-def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4) -> dict:
+def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4,
+             perc_weight: float = 0.0, use_adaptive: bool = False) -> dict:
     raw = {
         "image_size": IMG,
         "autoencoder": {"channels": CH, "num_res_blocks": NRB,
@@ -102,10 +103,11 @@ def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4) -> dict:
     }
     if gan:
         raw["loss"] = {
-            "l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": 0.0,
+            "l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": perc_weight,
             "adversarial_params": {"start_epoch": 0,
                                    "loss_type": "non-saturating",
-                                   "g_weight": 0.1, "use_adaptive": False,
+                                   "g_weight": 0.1,
+                                   "use_adaptive": use_adaptive,
                                    "r1_reg_weight": 10.0,
                                    "r1_reg_every": r1_every}}
     return raw
@@ -335,7 +337,8 @@ def test_mse_trajectory_parity_gumbel(torch_ref, monkeypatch):
 
 # ---------------------------------------------------------------------------
 def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
-                    r1_every):
+                    r1_every, perc_weight=0.0, use_adaptive=False,
+                    lpips_mod=None):
     """Hand-rolled reference GAN loop: training_step's manual two-optimizer
     protocol (model.py:232-264) + forward_autoencoder/forward_discriminator
     composition (loss.py:114-164) with perc_weight=0, use_adaptive=False.
@@ -387,10 +390,24 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
         ae_opt.zero_grad()
         l1 = (x - recon).abs().mean()
         l2 = (x - recon).pow(2).mean()
-        nll = l1 * l1w + l2 * l2w  # p_loss term weighted 0
+        p_loss = (lpips_mod(x, recon) if lpips_mod is not None
+                  else torch.zeros(()))
+        nll = l1 * l1w + l2 * l2w + p_loss * perc_weight
         logits_fake = disc(recon)
         g_loss = generator_loss(logits_fake, loss_type="non-saturating")
-        ae_loss = nll + g_loss * g_weight + q_loss
+        if use_adaptive:
+            # calculate_adaptive_weight (loss.py:80-96) at the model.py:250
+            # callsite: grads of the UNWEIGHTED p_loss and of g_loss w.r.t.
+            # decoder.conv_out.weight
+            w = dec.conv_out.weight
+            p_grads = torch.autograd.grad(p_loss, w, retain_graph=True)[0]
+            g_grads = torch.autograd.grad(g_loss, w, retain_graph=True)[0]
+            gw = (p_grads.detach().norm(2)
+                  / (g_grads.detach().norm(2) + 1e-8))
+            gw = torch.clamp(gw, 0.0, 1e4).detach() * g_weight
+        else:
+            gw = torch.as_tensor(g_weight)
+        ae_loss = nll + g_loss * gw + q_loss
         ae_loss.backward()
         ae_opt.step()
 
@@ -418,7 +435,8 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
         traj.append({"loss": float(ae_loss), "l1_loss": float(l1),
                      "l2_loss": float(l2), "quant_loss": float(q_loss),
                      "gen_loss": float(g_loss), "disc_loss": float(d_loss),
-                     "r1_penalty": float(r1)})
+                     "r1_penalty": float(r1), "perc_loss": float(p_loss),
+                     "g_weight": float(gw)})
     return traj, disc
 
 
@@ -476,6 +494,124 @@ def test_gan_trajectory_parity(torch_ref, reference_path):
     mask = np.ones(n_steps, bool)
     mask[::r1_every] = False
     assert (r1_j[mask] == 0).all()
+
+
+def test_gan_trajectory_parity_adaptive_lpips(torch_ref, reference_path,
+                                              tmp_path, monkeypatch):
+    """Full-VQGAN loss-composition trajectory: LPIPS perceptual term ACTIVE
+    (perc_weight=1) and the ADAPTIVE generator weight ON — the two reference
+    branches the plain GAN leg runs with weight 0/off. Pins in particular
+    calculate_adaptive_weight (reference loss.py:80-96): λ = |∇_W p_loss| /
+    (|∇_W g_loss| + 1e-8) clamped to 1e4, W = decoder.conv_out.weight — note
+    the model.py:250 callsite feeds the UNWEIGHTED p_loss, not the nll of
+    the Taming paper; both sides replicate that quirk.
+
+    Identical LPIPS weights on both sides via the test_lpips_parity
+    machinery: random torchvision-replica backbone + seeded lin heads on the
+    torch side, exported through the real converter CLI and loaded by the
+    Trainer via $VQVAE_TPU_LPIPS_WEIGHTS_DIR."""
+    import os
+    import subprocess
+    import types
+    from pathlib import Path
+
+    import test_lpips_parity as lpp
+
+    torch, ref_ae, ref_vq = torch_ref
+
+    # fake torchvision (only if no earlier test installed it), then the
+    # reference LPIPS wired without the weight download
+    if "torchvision" not in sys.modules:
+        torch.manual_seed(0)
+        replicas = {net: lpp._MAKERS[net](torch).eval()
+                    for net in lpp._MAKERS}
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+        models.vgg16 = lambda weights=None, **kw: types.SimpleNamespace(
+            features=replicas["vgg"])
+        models.alexnet = lambda pretrained=None, **kw: types.SimpleNamespace(
+            features=replicas["alex"])
+        models.squeezenet1_1 = (
+            lambda pretrained=None, **kw: types.SimpleNamespace(
+                features=replicas["squeeze"]))
+        models.VGG16_Weights = types.SimpleNamespace(DEFAULT="default")
+        tv.models = models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
+    from vqvae.modules.loss.lpips_pytorch.modules import (  # noqa: E402
+        networks as ref_networks)
+    from vqvae.modules.loss.lpips_pytorch.modules import (  # noqa: E402
+        lpips as ref_lpips_mod)
+    lp_ref = lpp._build_reference_lpips(torch, ref_networks, ref_lpips_mod,
+                                        "vgg", seed=7)
+
+    # export the EXACT torch-side weights through the real converter CLI so
+    # the flax Trainer trains against the same LPIPS function
+    repo = Path(__file__).resolve().parent.parent
+    backbone = sys.modules["torchvision"].models.vgg16().features
+    torch.save(backbone.state_dict(), tmp_path / "backbone.pth")
+    torch.save(lp_ref.lin.state_dict(), tmp_path / "lin.pth")
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "convert_lpips_weights.py"),
+         "--net", "vgg", "--out", str(tmp_path),
+         "--backbone_pth", str(tmp_path / "backbone.pth"),
+         "--lin_pth", str(tmp_path / "lin.pth")],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "PYTHONPATH": str(repo)})
+    assert out.returncode == 0, out.stderr
+    monkeypatch.setenv("VQVAE_TPU_LPIPS_WEIGHTS_DIR", str(tmp_path))
+
+    n_steps, batch, r1_every = 10, 4, 4
+    rs = np.random.RandomState(11)
+    batches = rs.rand(n_steps, batch, IMG, IMG, 3).astype(np.float32)
+
+    cfg = parse_config(_raw_cfg("standard", gan=True, r1_every=r1_every,
+                                perc_weight=1.0, use_adaptive=True))
+    trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
+                      steps_per_epoch=n_steps, mesh=None,
+                      compute_dtype=jnp.float32, remat=False, augment=False,
+                      disc_kwargs={"channel_base": D_CHANNEL_BASE})
+    try:
+        from vqvae.modules.loss.stylegan2_discriminator.discriminator import (
+            Discriminator as RefDiscriminator)
+        torch.manual_seed(0)
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+        torch.manual_seed(1)
+        disc_t = RefDiscriminator(IMG, channel_base=D_CHANNEL_BASE)
+
+        state = _jax_state_from_torch(trainer, enc, dec, quant, "standard",
+                                      disc_t=disc_t)
+        traj_j, _ = _run_jax(trainer, state, batches)
+
+        lr_fn = lambda i: float(trainer.native_lr.step(i))
+        torch.manual_seed(0)
+        traj_t, _ = _gan_trajectory(torch, ref_ae, ref_vq, reference_path,
+                                    batches, lr_fn, r1_every,
+                                    perc_weight=1.0, use_adaptive=True,
+                                    lpips_mod=lp_ref)
+    finally:
+        trainer.native_lr.destroy()
+
+    for key in ("loss", "l1_loss", "l2_loss", "quant_loss", "perc_loss",
+                "gen_loss", "g_weight", "disc_loss", "r1_penalty"):
+        j = np.array([m[key] for m in traj_j])
+        t = np.array([m[key] for m in traj_t])
+        # g_weight is a ratio of gradient NORMS — the most chaos-amplified
+        # quantity here — so its early window gets a slightly wider band
+        tight = 2e-2 if key == "g_weight" else 5e-3
+        np.testing.assert_allclose(
+            j[:4], t[:4], rtol=tight, atol=1e-4,
+            err_msg=f"adaptive-GAN '{key}' diverged in the first 4 steps:\n"
+                    f"jax   = {j}\ntorch = {t}")
+        np.testing.assert_allclose(
+            j, t, rtol=1.5e-1, atol=5e-4,
+            err_msg=f"adaptive-GAN '{key}' trajectories diverged:\n"
+                    f"jax   = {j}\ntorch = {t}")
+    # the adaptive weight must be live (not pinned at the constant) and the
+    # perceptual term non-degenerate
+    gw = np.array([m["g_weight"] for m in traj_j])
+    assert np.std(gw) > 0 and not np.allclose(gw, 0.1)
+    assert min(m["perc_loss"] for m in traj_j) > 1e-4
 
 
 # ---------------------------------------------------------------------------
