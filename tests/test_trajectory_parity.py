@@ -73,7 +73,8 @@ GUMBEL_KL = 0.00859375  # flagship kl_cost (example_confs/gumbel_vqgan.yaml)
 
 
 def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4,
-             perc_weight: float = 0.0, use_adaptive: bool = False) -> dict:
+             perc_weight: float = 0.0, use_adaptive: bool = False,
+             loss_type: str = "non-saturating") -> dict:
     raw = {
         "image_size": IMG,
         "autoencoder": {"channels": CH, "num_res_blocks": NRB,
@@ -105,7 +106,7 @@ def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4,
         raw["loss"] = {
             "l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": perc_weight,
             "adversarial_params": {"start_epoch": 0,
-                                   "loss_type": "non-saturating",
+                                   "loss_type": loss_type,
                                    "g_weight": 0.1,
                                    "use_adaptive": use_adaptive,
                                    "r1_reg_weight": 10.0,
@@ -338,7 +339,7 @@ def test_mse_trajectory_parity_gumbel(torch_ref, monkeypatch):
 # ---------------------------------------------------------------------------
 def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
                     r1_every, perc_weight=0.0, use_adaptive=False,
-                    lpips_mod=None):
+                    lpips_mod=None, loss_type="non-saturating"):
     """Hand-rolled reference GAN loop: training_step's manual two-optimizer
     protocol (model.py:232-264) + forward_autoencoder/forward_discriminator
     composition (loss.py:114-164) with perc_weight=0, use_adaptive=False.
@@ -352,12 +353,17 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
     F = torch.nn.functional
 
     def generator_loss(logits, loss_type="non-saturating"):
+        if loss_type == "hinge":  # loss.py:16-17
+            return -torch.mean(logits)
         assert loss_type == "non-saturating"
         return F.binary_cross_entropy_with_logits(
             logits, target=torch.ones_like(logits))
 
     def discriminator_loss(logits_real, logits_fake,
                            loss_type="non-saturating"):
+        if loss_type == "hinge":  # loss.py:36-38,52
+            return torch.mean(F.relu(1.0 - logits_real)
+                              + F.relu(1.0 + logits_fake))
         assert loss_type == "non-saturating"
         real = F.binary_cross_entropy_with_logits(
             logits_real, target=torch.ones_like(logits_real),
@@ -394,7 +400,7 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
                   else torch.zeros(()))
         nll = l1 * l1w + l2 * l2w + p_loss * perc_weight
         logits_fake = disc(recon)
-        g_loss = generator_loss(logits_fake, loss_type="non-saturating")
+        g_loss = generator_loss(logits_fake, loss_type=loss_type)
         if use_adaptive:
             # calculate_adaptive_weight (loss.py:80-96) at the model.py:250
             # callsite: grads of the UNWEIGHTED p_loss and of g_loss w.r.t.
@@ -417,7 +423,7 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
         logits_real = disc(xr)
         logits_fake2 = disc(recon.detach())
         d_loss = discriminator_loss(logits_real, logits_fake2,
-                                    loss_type="non-saturating")
+                                    loss_type=loss_type)
         if compute_r1:
             # no_weight_gradients is a no-op fallback on torch>=1.10
             # (conv2d_gradfix.py:47-56): full 2nd-order gradients flow
@@ -440,13 +446,15 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
     return traj, disc
 
 
-def test_gan_trajectory_parity(torch_ref, reference_path):
+@pytest.mark.parametrize("loss_type", ["non-saturating", "hinge"])
+def test_gan_trajectory_parity(torch_ref, reference_path, loss_type):
     torch, ref_ae, ref_vq = torch_ref
     n_steps, batch, r1_every = 12, 4, 4
     rs = np.random.RandomState(7)
     batches = rs.rand(n_steps, batch, IMG, IMG, 3).astype(np.float32)
 
-    cfg = parse_config(_raw_cfg("standard", gan=True, r1_every=r1_every))
+    cfg = parse_config(_raw_cfg("standard", gan=True, r1_every=r1_every,
+                                loss_type=loss_type))
     trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
                       steps_per_epoch=n_steps, mesh=None,
                       compute_dtype=jnp.float32, remat=False, augment=False,
@@ -468,24 +476,35 @@ def test_gan_trajectory_parity(torch_ref, reference_path):
         # fresh modules with the SAME seeds so the torch loop starts identical
         torch.manual_seed(0)
         traj_t, _ = _gan_trajectory(torch, ref_ae, ref_vq, reference_path,
-                                    batches, lr_fn, r1_every)
+                                    batches, lr_fn, r1_every,
+                                    loss_type=loss_type)
     finally:
         trainer.native_lr.destroy()
 
+    # two-tier tolerance: fp32 op-order differences amplify chaotically as
+    # weights drift apart — through the argmin assignment, and (dominant
+    # here) through the b1=0 AdamW update, whose early step is ~lr*sign(g)
+    # per element, so a near-zero gradient's fp32 rounding flips a whole
+    # O(lr) update. Early steps (where any optimizer/schedule/composition
+    # bug would already show) are held tight and the full window loose.
+    # hinge amplifies faster than non-saturating (measured: all keys agree
+    # to <2e-6 abs over steps 0-1, then grow ~10x/step; no hinge-kink flips
+    # involved — every relu stays active at these logit scales), so its
+    # tight window is shorter but far tighter.
+    n_tight, tight_r, tight_a, full_r, full_a = {
+        "non-saturating": (6, 5e-3, 1e-4, 8e-2, 2e-4),
+        "hinge": (2, 1e-4, 1e-5, 3e-1, 5e-2),
+    }[loss_type]
     for key in ("loss", "l1_loss", "l2_loss", "quant_loss", "gen_loss",
                 "disc_loss", "r1_penalty"):
         j = np.array([m[key] for m in traj_j])
         t = np.array([m[key] for m in traj_t])
-        # two-tier tolerance: fp32 op-order differences amplify chaotically
-        # through the argmin assignment as weights drift apart, so early
-        # steps (where any optimizer/schedule/composition bug would already
-        # show) are held tight and the full window loose
         np.testing.assert_allclose(
-            j[:6], t[:6], rtol=5e-3, atol=1e-4,
-            err_msg=f"GAN '{key}' diverged in the first 6 steps:\n"
+            j[:n_tight], t[:n_tight], rtol=tight_r, atol=tight_a,
+            err_msg=f"GAN '{key}' diverged in the first {n_tight} steps:\n"
                     f"jax   = {j}\ntorch = {t}")
         np.testing.assert_allclose(
-            j, t, rtol=8e-2, atol=2e-4,
+            j, t, rtol=full_r, atol=full_a,
             err_msg=f"GAN '{key}' trajectories diverged:\n"
                     f"jax   = {j}\ntorch = {t}")
     # R1 fires exactly on the cadence, both sides
