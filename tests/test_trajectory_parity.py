@@ -74,7 +74,7 @@ GUMBEL_KL = 0.00859375  # flagship kl_cost (example_confs/gumbel_vqgan.yaml)
 
 def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4,
              perc_weight: float = 0.0, use_adaptive: bool = False,
-             loss_type: str = "non-saturating") -> dict:
+             loss_type: str = "non-saturating", start_epoch: int = 0) -> dict:
     raw = {
         "image_size": IMG,
         "autoencoder": {"channels": CH, "num_res_blocks": NRB,
@@ -105,7 +105,7 @@ def _raw_cfg(q_type: str, gan: bool, r1_every: int = 4,
     if gan:
         raw["loss"] = {
             "l1_weight": 0.8, "l2_weight": 0.2, "perc_weight": perc_weight,
-            "adversarial_params": {"start_epoch": 0,
+            "adversarial_params": {"start_epoch": start_epoch,
                                    "loss_type": loss_type,
                                    "g_weight": 0.1,
                                    "use_adaptive": use_adaptive,
@@ -198,11 +198,12 @@ def _set_lr(opts, lr: float):
             g["lr"] = lr
 
 
-def _run_jax(trainer, state, batches):
+def _run_jax(trainer, state, batches, epoch_of=None):
     traj = []
-    for b in batches:
-        state, metrics = trainer.train_step(state, {"image": jnp.asarray(b)},
-                                            epoch=0)
+    for i, b in enumerate(batches):
+        state, metrics = trainer.train_step(
+            state, {"image": jnp.asarray(b)},
+            epoch=epoch_of(i) if epoch_of else 0)
         traj.append({k: float(v) for k, v in jax.device_get(metrics).items()})
     return traj, state
 
@@ -339,7 +340,8 @@ def test_mse_trajectory_parity_gumbel(torch_ref, monkeypatch):
 # ---------------------------------------------------------------------------
 def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
                     r1_every, perc_weight=0.0, use_adaptive=False,
-                    lpips_mod=None, loss_type="non-saturating"):
+                    lpips_mod=None, loss_type="non-saturating",
+                    start_epoch=0, steps_per_epoch=None):
     """Hand-rolled reference GAN loop: training_step's manual two-optimizer
     protocol (model.py:232-264) + forward_autoencoder/forward_discriminator
     composition (loss.py:114-164) with perc_weight=0, use_adaptive=False.
@@ -386,6 +388,11 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
 
     traj = []
     for i, b in enumerate(batches):
+        # pre-GAN epochs (current_epoch < start_epoch): the AE optimizer
+        # still steps on nll + q_loss with g_weight = 0 (loss.py:138-141)
+        # and the D optimizer never steps (model.py:260-264, loss None)
+        epoch_i = (i // steps_per_epoch) if steps_per_epoch else 0
+        gan_on = epoch_i >= start_epoch
         _set_lr([ae_opt, disc_opt], lr_fn(i))
         x = torch.from_numpy(b).permute(0, 3, 1, 2) * 2.0 - 1.0
         z = enc(x)
@@ -399,44 +406,56 @@ def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
         p_loss = (lpips_mod(x, recon) if lpips_mod is not None
                   else torch.zeros(()))
         nll = l1 * l1w + l2 * l2w + p_loss * perc_weight
-        logits_fake = disc(recon)
-        g_loss = generator_loss(logits_fake, loss_type=loss_type)
-        if use_adaptive:
-            # calculate_adaptive_weight (loss.py:80-96) at the model.py:250
-            # callsite: grads of the UNWEIGHTED p_loss and of g_loss w.r.t.
-            # decoder.conv_out.weight
-            w = dec.conv_out.weight
-            p_grads = torch.autograd.grad(p_loss, w, retain_graph=True)[0]
-            g_grads = torch.autograd.grad(g_loss, w, retain_graph=True)[0]
-            gw = (p_grads.detach().norm(2)
-                  / (g_grads.detach().norm(2) + 1e-8))
-            gw = torch.clamp(gw, 0.0, 1e4).detach() * g_weight
+        if gan_on:
+            logits_fake = disc(recon)
+            g_loss = generator_loss(logits_fake, loss_type=loss_type)
+            if use_adaptive:
+                # calculate_adaptive_weight (loss.py:80-96) at the
+                # model.py:250 callsite: grads of the UNWEIGHTED p_loss and
+                # of g_loss w.r.t. decoder.conv_out.weight
+                w = dec.conv_out.weight
+                p_grads = torch.autograd.grad(p_loss, w,
+                                              retain_graph=True)[0]
+                g_grads = torch.autograd.grad(g_loss, w,
+                                              retain_graph=True)[0]
+                gw = (p_grads.detach().norm(2)
+                      / (g_grads.detach().norm(2) + 1e-8))
+                gw = torch.clamp(gw, 0.0, 1e4).detach() * g_weight
+            else:
+                gw = torch.as_tensor(g_weight)
+            ae_loss = nll + g_loss * gw + q_loss
         else:
-            gw = torch.as_tensor(g_weight)
-        ae_loss = nll + g_loss * gw + q_loss
+            g_loss, gw = torch.zeros(()), torch.zeros(())
+            ae_loss = nll + q_loss
         ae_loss.backward()
         ae_opt.step()
 
         # ---- D phase (forward_discriminator, loss.py:143-164) ------------
-        compute_r1 = i % r1_every == 0
-        xr = x.detach().clone().requires_grad_(compute_r1)
-        logits_real = disc(xr)
-        logits_fake2 = disc(recon.detach())
-        d_loss = discriminator_loss(logits_real, logits_fake2,
-                                    loss_type=loss_type)
-        if compute_r1:
-            # no_weight_gradients is a no-op fallback on torch>=1.10
-            # (conv2d_gradfix.py:47-56): full 2nd-order gradients flow
-            grads = torch.autograd.grad(logits_real.sum(), xr,
-                                        create_graph=True)[0]
-            r1 = r1_cost * grads.pow(2).reshape(grads.shape[0], -1).sum(1).mean()
-            loss_d = d_loss + r1
+        if gan_on:
+            # the R1 cadence runs on the GLOBAL step (model.py:257), not a
+            # GAN-phase-relative one
+            compute_r1 = i % r1_every == 0
+            xr = x.detach().clone().requires_grad_(compute_r1)
+            logits_real = disc(xr)
+            logits_fake2 = disc(recon.detach())
+            d_loss = discriminator_loss(logits_real, logits_fake2,
+                                        loss_type=loss_type)
+            if compute_r1:
+                # no_weight_gradients is a no-op fallback on torch>=1.10
+                # (conv2d_gradfix.py:47-56): full 2nd-order gradients flow
+                grads = torch.autograd.grad(logits_real.sum(), xr,
+                                            create_graph=True)[0]
+                r1 = r1_cost * grads.pow(2).reshape(
+                    grads.shape[0], -1).sum(1).mean()
+                loss_d = d_loss + r1
+            else:
+                r1 = torch.zeros(())
+                loss_d = d_loss
+            disc_opt.zero_grad()
+            loss_d.backward()
+            disc_opt.step()
         else:
-            r1 = torch.zeros(())
-            loss_d = d_loss
-        disc_opt.zero_grad()
-        loss_d.backward()
-        disc_opt.step()
+            d_loss, r1 = torch.zeros(()), torch.zeros(())
 
         traj.append({"loss": float(ae_loss), "l1_loss": float(l1),
                      "l2_loss": float(l2), "quant_loss": float(q_loss),
@@ -513,6 +532,73 @@ def test_gan_trajectory_parity(torch_ref, reference_path, loss_type):
     mask = np.ones(n_steps, bool)
     mask[::r1_every] = False
     assert (r1_j[mask] == 0).all()
+
+
+def test_gan_trajectory_parity_start_epoch(torch_ref, reference_path):
+    """Pre-GAN -> GAN phase-transition trajectory (start_epoch=1): pins that
+    (a) pre-GAN steps train the AE on nll + q_loss with g_weight 0 and NO
+    discriminator update (reference loss.py:138-141, model.py:260-264), so
+    the AE optimizer enters the GAN phase with 4 steps of AdamW history
+    while D's state is fresh; (b) the loss branch flips exactly at
+    current_epoch == start_epoch; (c) the R1 cadence runs on the GLOBAL
+    step (model.py:257) — with r1_every=3 and the phase starting at global
+    step 4, R1 must fire at step 6, not at the phase-relative step 4."""
+    torch, ref_ae, ref_vq = torch_ref
+    steps_per_epoch, start_epoch, r1_every = 4, 1, 3
+    n_steps, batch = 8, 4
+    rs = np.random.RandomState(5)
+    batches = rs.rand(n_steps, batch, IMG, IMG, 3).astype(np.float32)
+
+    cfg = parse_config(_raw_cfg("standard", gan=True, r1_every=r1_every,
+                                start_epoch=start_epoch))
+    trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
+                      steps_per_epoch=steps_per_epoch, mesh=None,
+                      compute_dtype=jnp.float32, remat=False, augment=False,
+                      disc_kwargs={"channel_base": D_CHANNEL_BASE})
+    epoch_of = lambda i: i // steps_per_epoch
+    try:
+        from vqvae.modules.loss.stylegan2_discriminator.discriminator import (
+            Discriminator as RefDiscriminator)
+        torch.manual_seed(0)
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+        torch.manual_seed(1)
+        disc_t = RefDiscriminator(IMG, channel_base=D_CHANNEL_BASE)
+
+        state = _jax_state_from_torch(trainer, enc, dec, quant, "standard",
+                                      disc_t=disc_t)
+        traj_j, _ = _run_jax(trainer, state, batches, epoch_of=epoch_of)
+
+        lr_fn = lambda i: float(trainer.native_lr.step(i))
+        torch.manual_seed(0)
+        traj_t, _ = _gan_trajectory(torch, ref_ae, ref_vq, reference_path,
+                                    batches, lr_fn, r1_every,
+                                    start_epoch=start_epoch,
+                                    steps_per_epoch=steps_per_epoch)
+    finally:
+        trainer.native_lr.destroy()
+
+    for key in ("loss", "l1_loss", "l2_loss", "quant_loss", "gen_loss",
+                "disc_loss", "r1_penalty"):
+        j = np.array([m[key] for m in traj_j])
+        t = np.array([m[key] for m in traj_t])
+        np.testing.assert_allclose(
+            j[:6], t[:6], rtol=5e-3, atol=1e-4,
+            err_msg=f"start-epoch GAN '{key}' diverged early:\n"
+                    f"jax   = {j}\ntorch = {t}")
+        np.testing.assert_allclose(
+            j, t, rtol=8e-2, atol=2e-4,
+            err_msg=f"start-epoch GAN '{key}' trajectories diverged:\n"
+                    f"jax   = {j}\ntorch = {t}")
+
+    g = np.array([m["gen_loss"] for m in traj_j])
+    d = np.array([m["disc_loss"] for m in traj_j])
+    r1 = np.array([m["r1_penalty"] for m in traj_j])
+    # phase boundary exact: zeros through epoch 0, live from step 4
+    assert (g[:4] == 0).all() and (d[:4] == 0).all() and (r1[:4] == 0).all()
+    assert (np.abs(d[4:]) > 0).all()
+    # global-step R1 cadence: fires at step 6 only within the GAN phase
+    assert r1[6] > 0
+    assert (r1[[4, 5, 7]] == 0).all()
 
 
 def test_gan_trajectory_parity_adaptive_lpips(torch_ref, reference_path,
