@@ -337,6 +337,144 @@ def test_mse_trajectory_parity_gumbel(torch_ref, monkeypatch):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def _install_fake_torchvision(torch, lpp):
+    """Inject the torchvision-replica fake (test_lpips_parity pattern) if no
+    earlier test already did; harmless when one did (same seed, same build
+    order => numerically identical replica weights)."""
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    torch.manual_seed(0)
+    replicas = {net: lpp._MAKERS[net](torch).eval() for net in lpp._MAKERS}
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    models.vgg16 = lambda weights=None, **kw: types.SimpleNamespace(
+        features=replicas["vgg"])
+    models.alexnet = lambda pretrained=None, **kw: types.SimpleNamespace(
+        features=replicas["alex"])
+    models.squeezenet1_1 = (
+        lambda pretrained=None, **kw: types.SimpleNamespace(
+            features=replicas["squeeze"]))
+    models.VGG16_Weights = types.SimpleNamespace(DEFAULT="default")
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+
+
+def _export_lpips_weights(torch, lpp, net_type, out_dir):
+    """Build the reference LPIPS (replica backbone + seeded lin heads), run
+    the real converter CLI on its exact weights, return the module. The flax
+    side then loads the identical function via VQVAE_TPU_LPIPS_WEIGHTS_DIR."""
+    import os
+    import subprocess
+    from pathlib import Path
+
+    from vqvae.modules.loss.lpips_pytorch.modules import (
+        networks as ref_networks)
+    from vqvae.modules.loss.lpips_pytorch.modules import (
+        lpips as ref_lpips_mod)
+    lp_ref = lpp._build_reference_lpips(torch, ref_networks, ref_lpips_mod,
+                                        net_type, seed=7)
+    repo = Path(__file__).resolve().parent.parent
+    getter = {"vgg": "vgg16", "alex": "alexnet",
+              "squeeze": "squeezenet1_1"}[net_type]
+    backbone = getattr(sys.modules["torchvision"].models, getter)().features
+    torch.save(backbone.state_dict(), out_dir / "backbone.pth")
+    torch.save(lp_ref.lin.state_dict(), out_dir / "lin.pth")
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "convert_lpips_weights.py"),
+         "--net", net_type, "--out", str(out_dir),
+         "--backbone_pth", str(out_dir / "backbone.pth"),
+         "--lin_pth", str(out_dir / "lin.pth")],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "PYTHONPATH": str(repo)})
+    assert out.returncode == 0, out.stderr
+    return lp_ref
+
+
+def test_mse_trajectory_parity_vqlpips(torch_ref, reference_path, tmp_path,
+                                       monkeypatch):
+    """The reference's THIRD criterion branch (VQLPIPS — a loss: config block
+    WITHOUT adversarial_params, model.py:139-140,266-271): per-step loss =
+    l1*w1 + l2*w2 + p_loss*pw + q_loss with the ALEX LPIPS backbone
+    (loss.py:182; the Trainer mirrors the vgg-under-GAN / alex-otherwise
+    choice). 32px input — alexnet's stride-4 stem + 3 pools floor to zero
+    below that. Identical LPIPS weights both sides via the converter CLI."""
+    torch, ref_ae, ref_vq = torch_ref
+
+    import test_lpips_parity as lpp
+    _install_fake_torchvision(torch, lpp)
+    lp_ref = _export_lpips_weights(torch, lpp, "alex", tmp_path)
+    monkeypatch.setenv("VQVAE_TPU_LPIPS_WEIGHTS_DIR", str(tmp_path))
+
+    size, n_steps, batch = 32, 12, 4
+    l1w, l2w, pw = 0.8, 0.2, 1.0
+    rs = np.random.RandomState(13)
+    batches = rs.rand(n_steps, batch, size, size, 3).astype(np.float32)
+
+    raw = _raw_cfg("standard", gan=False)
+    raw["image_size"] = size
+    raw["loss"] = {"l1_weight": l1w, "l2_weight": l2w, "perc_weight": pw}
+    cfg = parse_config(raw)
+    trainer = Trainer(cfg=cfg, learning_rate=LR, seed=0,
+                      steps_per_epoch=n_steps, mesh=None,
+                      compute_dtype=jnp.float32, remat=False, augment=False)
+    assert trainer.disc is None  # VQLPIPS: no discriminator subsystem
+    try:
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+        state = _jax_state_from_torch(trainer, enc, dec, quant, "standard")
+        traj_j, _ = _run_jax(trainer, state, batches)
+
+        lr_fn = lambda i: float(trainer.native_lr.step(i))
+        # hand-rolled VQLPIPS loop (loss.py:185-193 + the MSE-branch update
+        # protocol: single AdamW, loss.backward, step)
+        enc, dec, quant = _build_torch_ae(torch, ref_ae, ref_vq, "standard")
+        for m in (enc, dec, quant):
+            m.train()
+        opt = _intended_ae_optimizer(torch, ref_ae, [enc, dec, quant])
+        traj_t = []
+        for i, b in enumerate(batches):
+            _set_lr([opt], lr_fn(i))
+            x = torch.from_numpy(b).permute(0, 3, 1, 2) * 2.0 - 1.0
+            z = enc(x)
+            quantized, _, q_loss = quant(z)
+            recon = dec(quantized)
+            l1 = (x - recon).abs().mean()
+            l2 = (x - recon).pow(2).mean()
+            p = lp_ref(x, recon)
+            loss = l1 * l1w + l2 * l2w + p * pw + q_loss
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj_t.append({"loss": float(loss), "l1_loss": float(l1),
+                           "l2_loss": float(l2), "quant_loss": float(q_loss),
+                           "perc_loss": float(p)})
+    finally:
+        trainer.native_lr.destroy()
+
+    for key in ("loss", "l1_loss", "l2_loss", "quant_loss", "perc_loss"):
+        j = np.array([m[key] for m in traj_j])
+        t = np.array([m[key] for m in traj_t])
+        # two-tier like the GAN legs: first steps tight (measured <=1e-6 abs
+        # over steps 0-2 — any composition bug would show there), full window
+        # loose for the b1=0-AdamW sign-chaos; quant_loss drifts furthest
+        # (argmin assignments flip as the 32px latents drift — measured rel
+        # ~0.12 by step 8 vs ~0.02 for the pixel/perceptual terms)
+        np.testing.assert_allclose(
+            j[:3], t[:3], rtol=1e-4, atol=1e-5,
+            err_msg=f"VQLPIPS '{key}' diverged in the first 3 steps:\n"
+                    f"jax   = {j}\ntorch = {t}")
+        np.testing.assert_allclose(
+            j, t, rtol=2e-1 if key == "quant_loss" else 5e-2, atol=5e-4,
+            err_msg=f"VQLPIPS '{key}' trajectories diverged:\n"
+                    f"jax   = {j}\ntorch = {t}")
+    # perceptual term live and the model actually learning
+    assert min(m["perc_loss"] for m in traj_j) > 1e-4
+    losses = np.array([m["loss"] for m in traj_j])
+    assert losses[-1] < losses[0]
+
+
 # ---------------------------------------------------------------------------
 def _gan_trajectory(torch, ref_ae, ref_vq, reference_path, batches, lr_fn,
                     r1_every, perc_weight=0.0, use_adaptive=False,
@@ -615,55 +753,11 @@ def test_gan_trajectory_parity_adaptive_lpips(torch_ref, reference_path,
     machinery: random torchvision-replica backbone + seeded lin heads on the
     torch side, exported through the real converter CLI and loaded by the
     Trainer via $VQVAE_TPU_LPIPS_WEIGHTS_DIR."""
-    import os
-    import subprocess
-    import types
-    from pathlib import Path
-
     import test_lpips_parity as lpp
 
     torch, ref_ae, ref_vq = torch_ref
-
-    # fake torchvision (only if no earlier test installed it), then the
-    # reference LPIPS wired without the weight download
-    if "torchvision" not in sys.modules:
-        torch.manual_seed(0)
-        replicas = {net: lpp._MAKERS[net](torch).eval()
-                    for net in lpp._MAKERS}
-        tv = types.ModuleType("torchvision")
-        models = types.ModuleType("torchvision.models")
-        models.vgg16 = lambda weights=None, **kw: types.SimpleNamespace(
-            features=replicas["vgg"])
-        models.alexnet = lambda pretrained=None, **kw: types.SimpleNamespace(
-            features=replicas["alex"])
-        models.squeezenet1_1 = (
-            lambda pretrained=None, **kw: types.SimpleNamespace(
-                features=replicas["squeeze"]))
-        models.VGG16_Weights = types.SimpleNamespace(DEFAULT="default")
-        tv.models = models
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = models
-    from vqvae.modules.loss.lpips_pytorch.modules import (  # noqa: E402
-        networks as ref_networks)
-    from vqvae.modules.loss.lpips_pytorch.modules import (  # noqa: E402
-        lpips as ref_lpips_mod)
-    lp_ref = lpp._build_reference_lpips(torch, ref_networks, ref_lpips_mod,
-                                        "vgg", seed=7)
-
-    # export the EXACT torch-side weights through the real converter CLI so
-    # the flax Trainer trains against the same LPIPS function
-    repo = Path(__file__).resolve().parent.parent
-    backbone = sys.modules["torchvision"].models.vgg16().features
-    torch.save(backbone.state_dict(), tmp_path / "backbone.pth")
-    torch.save(lp_ref.lin.state_dict(), tmp_path / "lin.pth")
-    out = subprocess.run(
-        [sys.executable, str(repo / "tools" / "convert_lpips_weights.py"),
-         "--net", "vgg", "--out", str(tmp_path),
-         "--backbone_pth", str(tmp_path / "backbone.pth"),
-         "--lin_pth", str(tmp_path / "lin.pth")],
-        capture_output=True, text=True, cwd=repo,
-        env={**os.environ, "PYTHONPATH": str(repo)})
-    assert out.returncode == 0, out.stderr
+    _install_fake_torchvision(torch, lpp)
+    lp_ref = _export_lpips_weights(torch, lpp, "vgg", tmp_path)
     monkeypatch.setenv("VQVAE_TPU_LPIPS_WEIGHTS_DIR", str(tmp_path))
 
     n_steps, batch, r1_every = 10, 4, 4
