@@ -59,6 +59,11 @@ SECONDARY_LEGS = ("ema_vqvae", "standard_vqvae", "entropy_vqvae",
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "docs", "BENCH_LASTGOOD.json")
 
+# set by main() the moment the flagship JSON line is printed; the late-crash
+# handler re-emits this record (annotated) so the final stdout line can never
+# downgrade a measured flagship number to an unavailable 0.0
+_FLAGSHIP_RECORD = None
+
 
 def _emit_unavailable(reason: str) -> None:
     """One parseable JSON line instead of a traceback when the accelerator
@@ -163,7 +168,11 @@ def main():
         return
     on_tpu = bool(out.pop("_on_tpu", False))
     result = out
-    # the driver-facing record, on stdout BEFORE any secondary work begins
+    # the driver-facing record, on stdout BEFORE any secondary work begins;
+    # remembered so a late crash re-emits IT (not an unavailable marker) as
+    # the final line — both first and last JSON lines must stay valid records
+    global _FLAGSHIP_RECORD
+    _FLAGSHIP_RECORD = dict(result)
     print(json.dumps(result), flush=True)
 
     # secondary (non-flagship) configs — regression tracking for the non-GAN
@@ -508,18 +517,31 @@ def _bench_plain(base_raw, q_type: str, image_size: int, jnp):
     return round(batch * n_steps / sorted(times)[1], 2)
 
 
+def _guarded_main() -> None:
+    """main() with the stdout contract enforced on ANY late failure: the
+    LAST JSON line must be a valid record. If the flagship line already went
+    out, re-emit the measured record (annotated) so last-line consumers
+    (tools/chipq.sh, tools/bench_sweep.sh `tail -1`) never trade a real
+    measurement for an unavailable 0.0; only a pre-flagship crash emits the
+    unavailable marker. Traceback goes to stderr either way."""
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        err = f"bench failed: {type(exc).__name__}: {exc}"[:300]
+        if _FLAGSHIP_RECORD is not None:
+            rec = dict(_FLAGSHIP_RECORD)
+            rec["secondary_error"] = err
+            print(json.dumps(rec), flush=True)
+        else:
+            _emit_unavailable(err)
+
+
 if __name__ == "__main__":
     if "--leg" in sys.argv:
         # subprocess side: let failures propagate as rc!=0 + stderr traceback
         # — the orchestrator converts them into an in-line error marker
         _run_leg(sys.argv[sys.argv.index("--leg") + 1])
     else:
-        try:
-            main()
-        except Exception as exc:  # noqa: BLE001
-            # late failure (tunnel died mid-run): keep the stdout contract —
-            # one parseable JSON line; traceback to stderr for debugging
-            import traceback
-            traceback.print_exc()
-            _emit_unavailable(
-                f"bench failed: {type(exc).__name__}: {exc}"[:300])
+        _guarded_main()

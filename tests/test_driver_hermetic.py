@@ -294,6 +294,69 @@ def test_bench_probe_budget_escalates(monkeypatch):
     assert budgets == [60.0, 120.0, 240.0, 240.0]
 
 
+def test_bench_late_crash_reemits_flagship(monkeypatch, capsys):
+    """A crash AFTER the flagship line is printed (malformed env int(), a
+    subprocess OSError mid-secondary, ...) must re-emit the measured flagship
+    record — annotated — as the final line, never an unavailable 0.0: both
+    in-repo consumers (tools/chipq.sh, tools/bench_sweep.sh) take `tail -1`,
+    which would otherwise lose the measurement (the BENCH_r04 data-loss mode
+    the round-5 restructure exists to prevent)."""
+    bench = _load_bench()
+
+    def fake_leg(name, timeout_s):
+        if name == "flagship":
+            return {"metric": bench.METRIC, "value": 88.6,
+                    "unit": "images/sec/chip", "vs_baseline": 1.099,
+                    "_on_tpu": True}
+        raise OSError("ENOMEM mid-secondary")
+
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench, "_run_leg_subprocess", fake_leg)
+    monkeypatch.setenv("VQGAN_BENCH_SECONDARY", "1")
+    monkeypatch.delenv("VQGAN_BENCH_ACCUM", raising=False)
+    monkeypatch.delenv("VQGAN_BENCH_DEADLINE_S", raising=False)
+    bench._guarded_main()
+    lines = [json.loads(l) for l
+             in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert lines[-1]["value"] == 88.6
+    assert lines[-1]["vs_baseline"] == 1.099
+    assert "unavailable" not in lines[-1]
+    assert "secondary_error" in lines[-1]
+
+    # pre-flagship crash still emits the honest unavailable marker
+    def fail_fast(name, timeout_s):
+        raise RuntimeError("probe exploded")
+
+    bench2 = _load_bench()
+    monkeypatch.setattr(bench2, "_wait_for_backend", lambda *a, **kw: True)
+    monkeypatch.setattr(bench2, "_run_leg_subprocess", fail_fast)
+    bench2._guarded_main()
+    last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert last["value"] == 0.0 and "unavailable" in last
+
+
+def test_chipq_leg_env_preserves_value_commas(tmp_path):
+    """chipq.sh leg-spec parsing: a comma starts a new assignment only before
+    an UPPERCASE NAME= — commas inside a value (multi-flag lowercase XLA
+    bundles, the historical chipq_r4 bundle legs) must survive intact."""
+    env = dict(os.environ,
+               CHIPQ_ECHO="1", PRECOMPILE="0", VALIDATE="0",
+               RESULTS=str(tmp_path / "results.txt"),
+               LOGDIR=str(tmp_path / "logs"))
+    spec = ("bundle:VQVAE_TPU_XLA_OPTS=xla_a=1,xla_b=true,"
+            "VQGAN_BENCH_ACCUM=4")
+    r = subprocess.run(["bash", os.path.join(REPO, "tools", "chipq.sh"),
+                        spec], env=env, capture_output=True, text=True,
+                       timeout=120, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    log = (tmp_path / "logs" / "leg_bundle.log").read_text()
+    assert "VQVAE_TPU_XLA_OPTS=xla_a=1,xla_b=true" in log
+    assert "VQGAN_BENCH_ACCUM=4" in log
+    # the broken split would have emitted the bundle's tail as its own word
+    assert " xla_b=true " not in log
+
+
 def test_bench_secondary_leg_hang_capped(monkeypatch, capsys):
     """A tunnel black-hole mid-secondary-leg must not stretch the process
     toward the driver's kill window: each secondary leg's subprocess timeout

@@ -9,6 +9,10 @@
 # Each leg-spec is "name" or "name:ENV=V[,ENV=V...]", e.g.
 #   tools/chipq.sh base vmem64:VQVAE_TPU_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=65536
 # No specs => a single "base" leg (plain `python bench.py` defaults).
+# A comma starts a NEW assignment only before an UPPERCASE name (the repo's
+# env-var convention); commas inside values survive — so multi-flag XLA
+# bundles work, because XLA flag names are lowercase:
+#   bundle:VQVAE_TPU_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=65536,xla_tpu_use_bundle_aware_cost_model_for_fusions=true
 #
 # Protocol (the shape that produced trustworthy round-4 numbers):
 #   0. (VALIDATE=1) tools/validate_tpu.py first — no A/B leg may flip a
@@ -73,9 +77,12 @@ if [ "${VALIDATE:-0}" = "1" ]; then
 fi
 
 leg_env() { # leg-spec -> env assignments on stdout, one per line
+  # Split on "," ONLY where an UPPERCASE NAME= follows: env vars here are
+  # uppercase while XLA flag names are lowercase, so comma-separated flag
+  # bundles inside one value (the historical chipq_r4 bundle legs) stay whole.
   local spec="$1"
   case "$spec" in
-    *:*) echo "${spec#*:}" | tr ',' '\n' ;;
+    *:*) echo "${spec#*:}" | sed 's/,\([A-Z_][A-Z0-9_]*=\)/\n\1/g' ;;
   esac
 }
 

@@ -154,8 +154,8 @@ class Trainer:
                 # is exactly p*0). NOT valid under use_adaptive, whose lambda
                 # uses the UNWEIGHTED p_loss gradient (reference loss.py:89,
                 # model.py:249-251) — that path keeps the real module below.
-                # Divergence note: the reference would still log the raw LPIPS
-                # value as perc_loss; here it logs 0 for this config.
+                # Divergence note (PARITY.md §2.4): the reference would still
+                # log the raw LPIPS value as perc_loss; here it logs 0.
                 def lpips_apply(x, y, reduce=True):
                     z = jnp.zeros((x.shape[0],), jnp.float32)
                     return jnp.mean(z) if reduce else z
